@@ -1,0 +1,243 @@
+"""WDSP-style AGC (JAX).
+
+Faithful functional re-expression of the reference's 5-state
+attack/decay/hang AGC (tmr4/T41_SDR `DSP_Fn.cpp:368-632`, itself from
+Warren Pratt's WDSP): a per-sample look-ahead delay line of
+`attack_buffsize` complex samples, a sliding-window peak detector over
+that line, fast/hang back-averages, and a state machine
+{0: attack/track, 1: fast decay, 2: hang, 3: decay, 4: hang decay}
+driving a log-domain gain slope.
+
+The per-sample dependency is inherent (gain at n depends on gain at n-1),
+so this is a `lax.scan`; channels ride a leading batch axis so every
+scan step is a wide vector op.  The reference's lazily-maintained
+`ring_max` is replaced by an exact sliding-window max over the delay
+line, which is what the lazy version computes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t41x import constants as C
+
+
+class AGCParams(NamedTuple):
+    """Static (trace-time) AGC constants — reference `AGCPrep` /
+    `AGCLoadValues` (`DSP_Fn.cpp:368-468`)."""
+    mode: int              # 0 off, 1 long, 2 slow, 3 med, 4 fast
+    attack_buffsize: int
+    attack_mult: float
+    decay_mult: float
+    fast_decay_mult: float
+    fast_backmult: float
+    onemfast_backmult: float
+    hang_backmult: float
+    onemhang_backmult: float
+    hang_decay_mult: float
+    hang_counter_init: int
+    out_target: float
+    min_volts: float
+    slope_constant: float
+    inv_max_input: float
+    hang_level: float
+    hang_enable: int
+    pop_ratio: float
+    fixed_gain: float
+
+
+_MODE_TABLE = {  # mode -> (hangtime s, tau_decay s), DSP_Fn.cpp:378-402
+    1: (2.000, 2.000),
+    2: (1.000, 0.500),
+    3: (0.000, 0.250),
+    4: (0.000, 0.050),
+}
+
+
+def agc_params(mode: int = 1, agc_thresh_db: float = 20.0,
+               sample_rate: float = C.AUDIO_RATE) -> AGCParams:
+    if mode == 0:
+        return AGCParams(0, 1, *([0.0] * 8), 0, 1.0, 0.0, 1.0, 1.0, 0.0, 0,
+                         5.0, 20.0)
+    hangtime, tau_decay = _MODE_TABLE[mode]
+    tau_attack = 0.001
+    n_tau = 4.0
+    max_input = 1.0
+    out_targ = 1.0
+    var_gain = 1.5
+    tau_fast_backaverage = 0.250
+    tau_fast_decay = 0.005
+    tau_hang_backmult = 0.500
+    hang_thresh = 0.250
+    tau_hang_decay = 0.100
+
+    max_gain = 10.0 ** (agc_thresh_db / 20.0)
+    attack_buffsize = int(np.ceil(sample_rate * n_tau * tau_attack))
+    attack_mult = 1.0 - np.exp(-1.0 / (sample_rate * tau_attack))
+    decay_mult = 1.0 - np.exp(-1.0 / (sample_rate * tau_decay))
+    fast_decay_mult = 1.0 - np.exp(-1.0 / (sample_rate * tau_fast_decay))
+    fast_backmult = 1.0 - np.exp(-1.0 / (sample_rate * tau_fast_backaverage))
+    hang_backmult = 1.0 - np.exp(-1.0 / (sample_rate * tau_hang_backmult))
+    hang_decay_mult = 1.0 - np.exp(-1.0 / (sample_rate * tau_hang_decay))
+
+    out_target = out_targ * (1.0 - np.exp(-n_tau)) * 0.9999
+    min_volts = out_target / (var_gain * max_gain)
+    tmp = np.log10(out_target / (max_input * var_gain * max_gain))
+    if tmp == 0.0:
+        tmp = 1e-16
+    slope_constant = (out_target * (1.0 - 1.0 / var_gain)) / tmp
+    tmp = 10.0 ** ((hang_thresh - 1.0) / 0.125)
+    hang_level = (max_input * tmp
+                  + (out_target / (var_gain * max_gain)) * (1.0 - tmp)) * 0.637
+
+    return AGCParams(
+        mode=mode,
+        attack_buffsize=attack_buffsize,
+        attack_mult=float(attack_mult),
+        decay_mult=float(decay_mult),
+        fast_decay_mult=float(fast_decay_mult),
+        fast_backmult=float(fast_backmult),
+        onemfast_backmult=float(1.0 - fast_backmult),
+        hang_backmult=float(hang_backmult),
+        onemhang_backmult=float(1.0 - hang_backmult),
+        hang_decay_mult=float(hang_decay_mult),
+        hang_counter_init=int(hangtime * sample_rate),
+        out_target=float(out_target),
+        min_volts=float(min_volts),
+        slope_constant=float(slope_constant),
+        inv_max_input=float(1.0 / max_input),
+        hang_level=float(hang_level),
+        hang_enable=1,
+        pop_ratio=5.0,
+        fixed_gain=20.0,
+    )
+
+
+class AGCState(NamedTuple):
+    """Carried AGC state (pytree).  Leading dims = channel batch."""
+    ring: jnp.ndarray       # (..., B) complex64 delay line, [0] oldest
+    abs_ring: jnp.ndarray   # (..., B) float32 magnitudes
+    volts: jnp.ndarray      # (...,)
+    save_volts: jnp.ndarray
+    fast_backaverage: jnp.ndarray
+    hang_backaverage: jnp.ndarray
+    hang_counter: jnp.ndarray  # (...,) int32
+    decay_type: jnp.ndarray    # (...,) int32
+    state: jnp.ndarray         # (...,) int32
+
+
+def agc_state(params: AGCParams, channels: tuple[int, ...] = ()) -> AGCState:
+    B = params.attack_buffsize
+    z = lambda dt=np.float32: np.zeros(channels, dt)  # noqa: E731
+    return AGCState(
+        ring=np.zeros(channels + (B,), np.complex64),
+        abs_ring=np.zeros(channels + (B,), np.float32),
+        volts=z(), save_volts=z(), fast_backaverage=z(),
+        hang_backaverage=z(),
+        hang_counter=z(np.int32), decay_type=z(np.int32),
+        state=z(np.int32),
+    )
+
+
+def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray):
+    """Apply AGC to a complex block.
+
+    x: (..., N) complex (I + jQ at audio rate)
+    Returns (new_state, y) with y complex and delayed by attack_buffsize
+    samples (the look-ahead delay line, like the reference).
+    """
+    if params.mode == 0:
+        return st, params.fixed_gain * x
+
+    p = params
+
+    def step(s: AGCState, xn):
+        out_sample = s.ring[..., 0]
+        abs_out = s.abs_ring[..., 0]
+        new_abs = jnp.abs(xn)  # pmode=1 sqrt magnitude (DSP_Fn.cpp:516-519)
+        ring = jnp.concatenate(
+            [s.ring[..., 1:], xn[..., None]], axis=-1)
+        abs_ring = jnp.concatenate(
+            [s.abs_ring[..., 1:], new_abs[..., None]], axis=-1)
+        ring_max = jnp.max(abs_ring, axis=-1)
+
+        fast_back = p.fast_backmult * abs_out + p.onemfast_backmult * s.fast_backaverage
+        hang_back = p.hang_backmult * abs_out + p.onemhang_backmult * s.hang_backaverage
+        hang_counter = jnp.maximum(s.hang_counter - 1, 0)
+
+        volts, save_volts, state, decay_type = (
+            s.volts, s.save_volts, s.state, s.decay_type)
+        diff = ring_max - volts
+        attack = ring_max >= volts
+
+        # --- attack branch (any state -> 0) ---
+        att_volts = volts + diff * p.attack_mult
+        att_save = jnp.where(state >= 2, volts, save_volts)
+
+        # --- release branches per state ---
+        # state 0
+        s0_fast = volts > p.pop_ratio * fast_back
+        s0_hang = (p.hang_enable == 1) & (hang_back > p.hang_level)
+        s0_state = jnp.where(s0_fast, 1, jnp.where(s0_hang, 2, 3))
+        s0_volts = jnp.where(
+            s0_fast, volts + diff * p.fast_decay_mult,
+            jnp.where(s0_hang, volts, volts + diff * p.decay_mult))
+        s0_hc = jnp.where(s0_hang & ~s0_fast, p.hang_counter_init, hang_counter)
+        s0_dt = jnp.where(s0_fast, decay_type,
+                          jnp.where(s0_hang, 1, 0)).astype(jnp.int32)
+
+        # state 1
+        s1_fast = volts > save_volts
+        s1_hang = hang_counter > 0
+        s1_state = jnp.where(
+            s1_fast, 1, jnp.where(s1_hang, 2,
+                                  jnp.where(decay_type == 0, 3, 4)))
+        s1_volts = jnp.where(
+            s1_fast, volts + diff * p.fast_decay_mult,
+            jnp.where(s1_hang, volts,
+                      jnp.where(decay_type == 0,
+                                volts + diff * p.decay_mult,
+                                volts + diff * p.hang_decay_mult)))
+
+        # state 2
+        s2_done = hang_counter == 0
+        s2_state = jnp.where(s2_done, 4, 2)
+        s2_volts = jnp.where(s2_done, volts + diff * p.hang_decay_mult, volts)
+
+        # state 3
+        s3_volts = volts + diff * p.decay_mult * 0.05
+
+        # state 4
+        s4_volts = volts + diff * p.hang_decay_mult
+
+        rel_volts = jnp.select(
+            [state == 0, state == 1, state == 2, state == 3],
+            [s0_volts, s1_volts, s2_volts, s3_volts], s4_volts)
+        rel_state = jnp.select(
+            [state == 0, state == 1, state == 2],
+            [s0_state, s1_state, s2_state], state).astype(jnp.int32)
+        rel_hc = jnp.where(state == 0, s0_hc, hang_counter).astype(jnp.int32)
+        rel_dt = jnp.where(state == 0, s0_dt, decay_type).astype(jnp.int32)
+
+        volts = jnp.where(attack, att_volts, rel_volts)
+        state = jnp.where(attack, 0, rel_state).astype(jnp.int32)
+        save_volts = jnp.where(attack, att_save, save_volts)
+        hang_counter = jnp.where(attack, hang_counter, rel_hc)
+        decay_type = jnp.where(attack, decay_type, rel_dt)
+
+        volts = jnp.maximum(volts, p.min_volts)
+        mult = (p.out_target - p.slope_constant
+                * jnp.minimum(0.0, jnp.log10(p.inv_max_input * volts))) / volts
+        y = out_sample * mult.astype(out_sample.dtype)
+
+        ns = AGCState(ring, abs_ring, volts, save_volts, fast_back,
+                      hang_back, hang_counter, decay_type, state)
+        return ns, y
+
+    xs = jnp.moveaxis(x, -1, 0)
+    new_state, ys = jax.lax.scan(step, st, xs)
+    return new_state, jnp.moveaxis(ys, 0, -1)

@@ -20,9 +20,13 @@ import numpy as np
 
 
 def fir_state(taps: int, channels: tuple[int, ...] = (),
-              dtype=jnp.float32) -> jnp.ndarray:
-    """Zero history for a streaming FIR with `taps` coefficients."""
-    return jnp.zeros(channels + (taps - 1,), dtype)
+              dtype=np.float32) -> np.ndarray:
+    """Zero history for a streaming FIR with `taps` coefficients.
+
+    Returned as a host (numpy) array: state is jit-function INPUT, and
+    eager device allocation is avoided (some remote backends cannot
+    execute eager ops)."""
+    return np.zeros(channels + (taps - 1,), np.dtype(dtype).name)
 
 
 def _conv_valid_strided(x: jnp.ndarray, h_rev: jnp.ndarray,

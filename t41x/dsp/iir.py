@@ -21,9 +21,9 @@ import numpy as np
 
 
 def biquad_state(channels: tuple[int, ...] = (), stages: int = 1,
-                 dtype=jnp.float32) -> jnp.ndarray:
-    """(..., stages, 2) df2T state."""
-    return jnp.zeros(channels + (stages, 2), dtype)
+                 dtype=np.float32) -> np.ndarray:
+    """(..., stages, 2) df2T state (host array; see fir.fir_state)."""
+    return np.zeros(channels + (stages, 2), np.dtype(dtype).name)
 
 
 def biquad_apply(state: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray,

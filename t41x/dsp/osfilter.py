@@ -25,9 +25,10 @@ from t41x import constants as C
 
 
 def os_state(channels: tuple[int, ...] = (),
-             fft_length: int = C.FFT_LENGTH) -> jnp.ndarray:
-    """Zero history: the previous fft_length/2 complex samples."""
-    return jnp.zeros(channels + (fft_length // 2,), jnp.complex64)
+             fft_length: int = C.FFT_LENGTH) -> np.ndarray:
+    """Zero history: the previous fft_length/2 complex samples (host
+    array; see fir.fir_state)."""
+    return np.zeros(channels + (fft_length // 2,), np.complex64)
 
 
 def os_filter(state: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,

@@ -157,6 +157,24 @@ def voice_proxy(n_audio: int, fs_audio: float = C.AUDIO_RATE,
     return (x / (np.max(np.abs(x)) + 1e-12)).astype(np.float32)
 
 
+def tone_fit_snr(audio: np.ndarray, freqs, fs: float) -> float:
+    """SNR of `audio` against a best-fit (amplitude+phase per tone) sum of
+    sinusoids at `freqs` — gain/phase/delay invariant golden metric for
+    demodulated multi-tone test signals."""
+    audio = np.asarray(audio, np.float64)
+    t = np.arange(len(audio)) / fs
+    cols = []
+    for f in np.atleast_1d(freqs):
+        cols.append(np.cos(2 * np.pi * f * t))
+        cols.append(np.sin(2 * np.pi * f * t))
+    A = np.stack(cols, axis=1)
+    coef, *_ = np.linalg.lstsq(A, audio, rcond=None)
+    fit = A @ coef
+    p_sig = np.mean(fit ** 2)
+    p_err = np.mean((audio - fit) ** 2) + 1e-30
+    return 10.0 * np.log10(p_sig / p_err)
+
+
 def snr_db(signal: np.ndarray, reference: np.ndarray) -> float:
     """SNR of `signal` against `reference` after optimal scalar gain fit."""
     signal = np.asarray(signal, np.float64)

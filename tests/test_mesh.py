@@ -1,0 +1,89 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded execution
+must be sample-exact (to fp32) with the unsharded stream."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from t41x import constants as C
+from t41x.chain import ChainSpec, RxChain, default_params
+from t41x.dsp import fir, firdesign as fd, osfilter
+from t41x.io import signals
+from t41x.mesh import halo, sharding
+
+RNG = np.random.default_rng(7)
+
+
+def tmesh(n, axis="t"):
+    return Mesh(np.asarray(jax.devices()[:n]), (axis,))
+
+
+def test_left_halo_passes_neighbor_tail():
+    mesh = tmesh(4)
+    x = jnp.arange(4 * 16, dtype=jnp.float32).reshape(1, 64)
+
+    f = jax.jit(jax.shard_map(
+        functools.partial(halo.left_halo, halo=4, axis_name="t"),
+        mesh=mesh, in_specs=P(None, "t"), out_specs=P(None, "t")))
+    out = np.asarray(f(x)).reshape(4, 4)
+    # device 0 gets zeros; device k gets last 4 of segment k-1
+    np.testing.assert_array_equal(out[0], 0)
+    np.testing.assert_array_equal(out[1], [12, 13, 14, 15])
+    np.testing.assert_array_equal(out[3], [44, 45, 46, 47])
+
+
+def test_sharded_os_filter_matches_streaming():
+    mesh = tmesh(4)
+    taps = fd.complex_bandpass(257, 200.0, 3000.0, 24000.0)
+    mask = jnp.asarray(fd.os_filter_mask(taps, 512).astype(np.complex64))
+    n = 4 * 1024
+    x = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+         ).astype(np.complex64)
+
+    f = jax.jit(jax.shard_map(
+        lambda seg: halo.sharded_os_filter(seg, mask, "t"),
+        mesh=mesh, in_specs=P("t"), out_specs=P("t")))
+    got = np.asarray(f(jnp.asarray(x)))
+
+    st = osfilter.os_state()
+    outs = []
+    for i in range(n // 256):
+        st, y = osfilter.os_filter(st, jnp.asarray(x[i * 256:(i + 1) * 256]),
+                                   mask)
+        outs.append(np.asarray(y))
+    ref = np.concatenate(outs)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_decimate_matches_streaming():
+    mesh = tmesh(4)
+    h = jnp.asarray(fd.fir_kaiser(28, 9000.0, 90.0, "lowpass",
+                                  fs=192000.0).astype(np.float32))
+    n = 4 * 512
+    x = RNG.standard_normal(n).astype(np.float32)
+
+    f = jax.jit(jax.shard_map(
+        lambda seg: halo.sharded_fir_decimate(seg, h, 4, "t"),
+        mesh=mesh, in_specs=P("t"), out_specs=P("t")))
+    got = np.asarray(f(jnp.asarray(x)))
+    _, ref = fir.fir_decimate(fir.fir_state(28), jnp.asarray(x), h, 4)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_channel_sharded_chain_matches_unsharded():
+    n_ch, n_blocks = 8, 6
+    n = n_blocks * C.BLOCK_SIZE
+    freqs = 500.0 + 200.0 * np.arange(n_ch)
+    iq = np.stack([signals.usb_signal([f], n) * 0.25 for f in freqs])
+    chain = RxChain(ChainSpec(mode="usb", spectrum_taps=False,
+                              interpolate_out=False))
+    params = default_params((n_ch,))
+    mesh = sharding.make_mesh(4, "ch")
+    audio_sharded = np.asarray(sharding.channel_sharded_run(
+        chain, mesh, params, jnp.asarray(iq), n_blocks))
+    out = chain.run(iq, params=params)
+    np.testing.assert_allclose(audio_sharded, np.asarray(out["audio_24k"]),
+                               rtol=1e-3, atol=1e-4)

@@ -1,0 +1,129 @@
+"""End-to-end RX chain tests — the golden slice (BASELINE config 1):
+synthetic 192 kHz I/Q captures through the full decimate -> overlap-save
+band-pass -> demod -> AGC chain, asserting demodulated audio quality."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from t41x import constants as C
+from t41x.chain import ChainSpec, RxChain, default_params
+from t41x.io import signals
+
+SETTLE = 4096  # audio samples to skip (AGC/filter transients)
+N_BLOCKS = 40  # 40 blocks = 10240 audio samples @ 24 kHz (~0.43 s)
+N = N_BLOCKS * C.BLOCK_SIZE
+
+
+def audio_of(chain, iq, **kw):
+    out = chain.run(np.asarray(iq), **kw)
+    return np.asarray(out["audio_24k"])
+
+
+def test_usb_two_tone_golden():
+    iq = signals.usb_signal([700.0, 1900.0], N, amps=[1.0, 0.5]) * 0.25
+    iq += signals.awgn(N, 1e-4, seed=9)
+    chain = RxChain(ChainSpec(mode="usb"))
+    audio = audio_of(chain, iq)[SETTLE:]
+    snr = signals.tone_fit_snr(audio, [700.0, 1900.0], C.AUDIO_RATE)
+    assert snr > 30.0, snr
+
+
+def test_lsb_two_tone_golden():
+    iq = signals.lsb_signal([600.0, 2200.0], N) * 0.25
+    chain = RxChain(ChainSpec(mode="lsb", f_lo=-3000.0, f_hi=-200.0))
+    audio = audio_of(chain, iq)[SETTLE:]
+    snr = signals.tone_fit_snr(audio, [600.0, 2200.0], C.AUDIO_RATE)
+    assert snr > 30.0, snr
+
+
+def test_usb_rejects_opposite_sideband():
+    # tone on the LSB side must not appear in USB audio
+    iq = signals.lsb_signal([1000.0], N) * 0.25
+    chain = RxChain(ChainSpec(mode="usb"))
+    audio = audio_of(chain, iq)[SETTLE:]
+    iq2 = signals.usb_signal([1000.0], N) * 0.25
+    audio2 = audio_of(chain, iq2)[SETTLE:]
+    rej = 10 * np.log10(np.mean(audio2**2) / (np.mean(audio**2) + 1e-30))
+    assert rej > 40.0, rej
+
+
+def test_am_golden():
+    iq = signals.am_signal(600.0, N, depth=0.6)
+    chain = RxChain(ChainSpec(mode="am", f_lo=-3000.0, f_hi=3000.0))
+    audio = audio_of(chain, iq)[SETTLE:]
+    snr = signals.tone_fit_snr(audio - audio.mean(), [600.0], C.AUDIO_RATE)
+    assert snr > 25.0, snr
+
+
+def test_sam_golden_with_carrier_offset():
+    iq = signals.am_signal(500.0, N, depth=0.6, nco=60.0)  # 60 Hz off-tune
+    chain = RxChain(ChainSpec(mode="sam", f_lo=-3000.0, f_hi=3000.0))
+    out = chain.run(np.asarray(iq))
+    audio = np.array(out["audio_24k"])[SETTLE:]
+    # AC-couple: the WDSP fade-leveler's 1.4 s carrier tracker leaves a
+    # slow settling drift (sub-5 Hz), which a real audio path blocks
+    audio = audio - np.convolve(audio, np.ones(801) / 801, "same")
+    snr = signals.tone_fit_snr(audio[800:-800], [500.0], C.AUDIO_RATE)
+    assert snr > 25.0, snr
+    # PLL should report the carrier offset
+    carrier = np.asarray(out["sam_carrier_hz"])[-1]
+    assert abs(abs(carrier) - 60.0) < 20.0, carrier
+
+
+def test_nfm_golden():
+    iq = signals.nfm_signal(800.0, N, deviation=3000.0)
+    chain = RxChain(ChainSpec(mode="nfm"))
+    audio = audio_of(chain, iq)[SETTLE:]
+    snr = signals.tone_fit_snr(audio - audio.mean(), [800.0], C.AUDIO_RATE)
+    assert snr > 15.0, snr
+
+
+def test_nco_fine_tuning():
+    # signal 5 kHz above the Fs/4 point; NCO brings it to baseband
+    iq = signals.usb_signal([1000.0], N, nco=5000.0) * 0.25
+    chain = RxChain(ChainSpec(mode="usb"))
+    params = default_params(nco_freq=5000.0)
+    audio = np.asarray(chain.run(np.asarray(iq), params=params)["audio_24k"])
+    snr = signals.tone_fit_snr(audio[SETTLE:], [1000.0], C.AUDIO_RATE)
+    assert snr > 30.0, snr
+
+
+def test_channel_batch_matches_single():
+    iq0 = signals.usb_signal([700.0], N) * 0.25
+    iq1 = signals.usb_signal([1500.0], N) * 0.25
+    chain = RxChain(ChainSpec(mode="usb"))
+    batch = np.stack([iq0, iq1])
+    out_b = audio_of(chain, batch)
+    out_0 = audio_of(chain, iq0)
+    np.testing.assert_allclose(out_b[0], out_0, rtol=1e-3, atol=1e-4)
+    snr1 = signals.tone_fit_snr(out_b[1][SETTLE:], [1500.0], C.AUDIO_RATE)
+    assert snr1 > 30.0
+
+
+def test_interpolated_output_192k():
+    iq = signals.usb_signal([1000.0], N) * 0.25
+    chain = RxChain(ChainSpec(mode="usb", interpolate_out=True))
+    out = chain.run(np.asarray(iq))
+    audio = np.asarray(out["audio"])
+    assert audio.shape[-1] == N
+    a = audio[8 * SETTLE:]
+    snr = signals.tone_fit_snr(a, [1000.0], C.SAMPLE_RATE)
+    assert snr > 25.0, snr
+
+
+def test_smeter_and_spectrum_taps():
+    iq = signals.usb_signal([1000.0], N) * 0.25
+    chain = RxChain(ChainSpec(mode="usb", spectrum_taps=True))
+    out = chain.run(np.asarray(iq))
+    assert out["audio_spectrum"].shape[-1] == N_BLOCKS * C.FFT_LENGTH
+    sm = np.asarray(out["smeter_avg"])
+    assert sm.shape == (N_BLOCKS,)
+    assert sm[-1] > 0
+
+
+def test_matmul_osfilter_path_matches_fft_path():
+    iq = signals.usb_signal([900.0, 2100.0], N) * 0.25
+    a1 = audio_of(RxChain(ChainSpec(mode="usb", spectrum_taps=True)), iq)
+    a2 = audio_of(RxChain(ChainSpec(mode="usb", spectrum_taps=False,
+                                    use_matmul_osfilter=True)), iq)
+    np.testing.assert_allclose(a1, a2, rtol=5e-2, atol=5e-4)
