@@ -37,7 +37,9 @@ import numpy as np
 from t41x import constants as C
 from t41x.demod import am as am_mod, nfm as nfm_mod, sam as sam_mod
 from t41x.dsp import agc as agc_mod
-from t41x.dsp import fir, firdesign as fd, iir, nco, osfilter
+from t41x.dsp import eq as eq_mod
+from t41x.dsp import fir, firdesign as fd, iir, nco, nr as nr_mod, osfilter
+from t41x.dsp import spectrum as spectrum_mod
 
 SSB_FAMILY = ("usb", "lsb", "ft8", "cw")
 MODES = SSB_FAMILY + ("am", "sam", "nfm", "psk31")
@@ -52,6 +54,10 @@ class ChainSpec:
     agc_mode: int = 2          # 0 off / 1 long / 2 slow / 3 med / 4 fast
     agc_thresh_db: float = 20.0
     nfm_bw: float = 12000.0    # NFM decimator design BW (Filter.cpp:16)
+    nr_mode: int = 0           # 0 off / 1 Kim / 2 spectral / 3 LMS
+    notch_on: bool = False     # automatic notch (Xanr error output)
+    eq_on: bool = False        # 14-band receive EQ
+    spectrum_zoom: int = -1    # -1 off / 0 zoom x1 / 1..7 zoom x2^z
     interpolate_out: bool = True
     use_matmul_osfilter: bool = True
     spectrum_taps: bool = True  # emit audio-spectrum + S-meter taps
@@ -71,13 +77,15 @@ class ChannelParams(NamedTuple):
     iq_amp: jnp.ndarray          # IQAmpCorrectionFactor
     iq_phase: jnp.ndarray        # IQPhaseCorrectionFactor
     volume: jnp.ndarray          # 0..100
+    eq_gains: jnp.ndarray        # (..., 14) EQ band gains 0..1
 
 
 def default_params(channels: tuple[int, ...] = (), nco_freq: float = 0.0,
                    volume: float = 50.0) -> ChannelParams:
     f = lambda v: np.full(channels, v, np.float32)  # noqa: E731
     return ChannelParams(f(nco_freq), f(0.0), f(1.0), f(1.0), f(0.0),
-                         f(volume))
+                         f(volume),
+                         np.ones(channels + (eq_mod.NUM_BANDS,), np.float32))
 
 
 class RxState(NamedTuple):
@@ -95,6 +103,10 @@ class RxState(NamedTuple):
     int1: jnp.ndarray        # (..., T/2-1) interpolation histories (real)
     int2: jnp.ndarray
     smeter_avg: jnp.ndarray  # (...,) audioMaxSquaredAve EMA
+    nr: object               # NR state for the configured nr_mode (or ())
+    notch: object            # Xanr notch state (or ())
+    eq: object               # EQ biquad bank state (or ())
+    zoom: object             # zoom-FFT state / zoom1 EMA (or ())
 
 
 class RxChain:
@@ -151,6 +163,16 @@ class RxChain:
         f_cut_khz = (-spec.f_lo if spec.mode == "lsb" else spec.f_hi) * 1e-3
         self.vol_scale = float(7.0874 * abs(f_cut_khz) ** -1.232)
 
+        # optional post-demod stages
+        self.kim_params = nr_mod.kim_params(spec.f_lo, spec.f_hi)
+        self.spectral_nr_params = nr_mod.spectral_params(spec.f_lo, spec.f_hi)
+        self.xanr_params = nr_mod.XanrParams(notch=False)
+        self.notch_params = nr_mod.XanrParams(notch=True)
+        self.eq = eq_mod.EQDesign(spec.sample_rate / C.DF) if spec.eq_on else None
+        self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
+                                             spec.sample_rate)
+                        if spec.spectrum_zoom >= 1 else None)
+
     # ------------------------------------------------------------------
     def init_state(self, channels: tuple[int, ...] = ()) -> RxState:
         # host (numpy) arrays: states are jit inputs, never eagerly
@@ -171,6 +193,16 @@ class RxChain:
             int2=np.zeros(channels + (len(self.hi2) // C.DF1 - 1,),
                           np.float32),
             smeter_avg=np.zeros(channels, np.float32),
+            nr=(nr_mod.kim_state(channels) if self.spec.nr_mode == 1 else
+                nr_mod.spectral_state(channels) if self.spec.nr_mode == 2
+                else nr_mod.xanr_state(self.xanr_params, channels)
+                if self.spec.nr_mode == 3 else ()),
+            notch=(nr_mod.xanr_state(self.notch_params, channels)
+                   if self.spec.notch_on else ()),
+            eq=(self.eq.init_state(channels) if self.spec.eq_on else ()),
+            zoom=(self.zoomfft.init_state(channels) if self.zoomfft
+                  else np.zeros(channels + (spectrum_mod.RES,), np.float32)
+                  if self.spec.spectrum_zoom == 0 else ()),
         )
 
     # ------------------------------------------------------------------
@@ -205,8 +237,19 @@ class RxChain:
         q_c = jnp.where(pos, q_part, q_part + ph * i_c)
         x = (i_c + 1j * q_c).astype(jnp.complex64)
 
+        # --- RF spectrum taps (display path) -----------------------------
+        zoom_state = state.zoom
+        if spec.spectrum_zoom == 0:
+            # zoom x1 uses the un-shifted data (Process.cpp:185-187)
+            zoom_state, rf_spec = spectrum_mod.zoom1_spectrum(zoom_state, x)
+            outputs["rf_spectrum"] = rf_spec
+
         # --- frequency translation --------------------------------------
         x = nco.fs4_shift(x)
+        if self.zoomfft is not None:
+            # zoom x2^z uses the Fs/4-shifted data (Process.cpp:212-215)
+            zoom_state, rf_spec = self.zoomfft.block(zoom_state, x)
+            outputs["rf_spectrum"] = rf_spec
         nco_phase, x = nco.nco_mix(state.nco_phase, x, params.nco_freq,
                                    spec.sample_rate)
 
@@ -261,6 +304,27 @@ class RxChain:
             smeter_avg = 0.5 * peak + 0.5 * smeter_avg
             outputs["smeter_avg"] = smeter_avg
 
+        # --- receive EQ (Process.cpp:828-831) ----------------------------
+        eq_state = state.eq
+        if spec.eq_on:
+            eq_state, audio = self.eq.apply(eq_state, audio, params.eq_gains)
+
+        # --- noise reduction (Process.cpp:841-858) -----------------------
+        nr_state = state.nr
+        if spec.nr_mode == 1:
+            nr_state, audio = nr_mod.kim_nr(self.kim_params, nr_state, audio)
+        elif spec.nr_mode == 2:
+            nr_state, audio = nr_mod.spectral_nr(self.spectral_nr_params,
+                                                 nr_state, audio)
+        elif spec.nr_mode == 3:
+            nr_state, audio = nr_mod.xanr(self.xanr_params, nr_state, audio)
+
+        # --- automatic notch (Process.cpp:862-866) -----------------------
+        notch_state = state.notch
+        if spec.notch_on:
+            notch_state, audio = nr_mod.xanr(self.notch_params, notch_state,
+                                             audio)
+
         outputs["audio_24k"] = audio
 
         # --- interpolation back to 192 kHz + volume ----------------------
@@ -278,7 +342,8 @@ class RxChain:
 
         new_state = RxState(dc_bq, nco_phase, dec1, dec2, osf, agc_state,
                             am_dc, am_bq, sam_state, nfm_last, int1, int2,
-                            smeter_avg)
+                            smeter_avg, nr_state, notch_state, eq_state,
+                            zoom_state)
         return new_state, outputs
 
     # ------------------------------------------------------------------

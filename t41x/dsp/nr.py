@@ -1,0 +1,350 @@
+"""Noise reduction algorithms (JAX).
+
+Three NR algorithms + automatic notch, mirroring the reference's set
+(tmr4/T41_SDR `Noise.cpp`):
+
+  * `kim_nr` — Kim & Ruwisch 2002 spectral NR (`Kim1_NR`,
+    `Noise.cpp:108-311`): 256-pt FFT frames, 50% overlap, Hann analysis,
+    3-frame energy average, 15-frame minimum statistics, gain
+    G = 1 - lambda/E clamped at 0, time + frequency smoothing,
+    conjugate-symmetric mask, overlap-add.
+  * `spectral_nr` — UHSDR spectral-subtraction NR
+    (`SpectralNoiseReduction`, `Noise.cpp:379-645`): speech-presence
+    probability, tracked noise estimate, a-priori/posteriori SNR,
+    G = sqrt(0.7212 v + v^2)/SNR_post, musical-noise averaging,
+    sqrt-Hann analysis+synthesis, overlap-add.
+    NOTE: the reference nests its musical-noise pass inside the per-bin
+    gain loop (an apparent scoping bug, `Noise.cpp:538-596` — the whole
+    smoothing pass runs once per bin); t41x implements the intended
+    algorithm: gains for all bins first, then ONE musical-noise pass.
+  * `xanr` — WDSP variable-leak LMS predictor (`Xanr`,
+    `Noise.cpp:322-370`): 64-tap adaptive filter over a 16-sample delay
+    line; prediction output = NR, error output = automatic notch.
+
+Frame/FFT ops are batched over channels; the LMS is a per-sample scan.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t41x import constants as C
+
+NR_FFT_L = 256
+HOP = NR_FFT_L // 2  # 128
+
+
+def _vad_bins(f_lo: float, f_hi: float, rate: float = C.AUDIO_RATE):
+    """Voice-activity band limits in NR bins (reference
+    `Noise.cpp:144-173`)."""
+    if f_lo <= 0 and f_hi >= 0:
+        lf, uf = 0.0, max(-f_lo, f_hi)
+    elif f_lo > 0:
+        lf, uf = f_lo, f_hi
+    else:
+        lf, uf = -f_hi, -f_lo
+    bin_bw = rate / NR_FFT_L
+    lo, hi = int(lf / bin_bw), int(uf / bin_bw)
+    if lo == hi:
+        hi += 1
+    lo = min(max(lo, 1), HOP - 2)
+    hi = min(max(hi, 1), HOP)
+    return lo, hi
+
+
+def _hann() -> np.ndarray:
+    i = np.arange(NR_FFT_L)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / (NR_FFT_L - 1)))
+            ).astype(np.float32)
+
+
+def _sqrt_hann() -> np.ndarray:
+    # periodic sqrt-Hann as tabulated in the reference (Noise.cpp:55-89,
+    # endpoint-zero symmetric variant)
+    i = np.arange(NR_FFT_L)
+    return np.sqrt(0.5 * (1.0 - np.cos(2.0 * np.pi * i / (NR_FFT_L - 1)))
+                   ).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# Kim & Ruwisch 2002
+# ----------------------------------------------------------------------
+
+class KimParams(NamedTuple):
+    alpha: float = 0.95    # time smoothing (gwv.cpp:62)
+    beta: float = 0.85     # frequency smoothing (gwv.cpp:63)
+    psi: float = 2.5       # min-statistics threshold (reference EEPROM
+    #                        default is 0.0 which degenerates to lambda=M;
+    #                        2.5 is the upstream Convolution-SDR value)
+    vad_low: int = 1
+    vad_high: int = HOP
+    post_gain: float = 30.0  # Process.cpp:846 output scale
+
+
+def kim_params(f_lo: float = 200.0, f_hi: float = 3000.0,
+               **kw) -> KimParams:
+    lo, hi = _vad_bins(f_lo, f_hi)
+    return KimParams(vad_low=lo, vad_high=hi, **kw)
+
+
+class KimState(NamedTuple):
+    last_sample: jnp.ndarray   # (..., 128) input history
+    last_ifft: jnp.ndarray     # (..., 128) overlap-add tail
+    X: jnp.ndarray             # (..., 128, 3) power history (newest last)
+    E: jnp.ndarray             # (..., 128, 15) 3-frame-avg history
+    Gts: jnp.ndarray           # (..., 128) time-smoothed gain
+
+
+def kim_state(channels: tuple[int, ...] = ()) -> KimState:
+    z = lambda *s: np.zeros(channels + s, np.float32)  # noqa: E731
+    return KimState(z(HOP), z(HOP), z(HOP, 3), z(HOP, 15), z(HOP))
+
+
+def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
+    """One 128-sample hop of the Kim NR."""
+    frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
+    spec = jnp.fft.fft(frame * window, axis=-1)
+    power = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
+
+    X = jnp.concatenate([st.X[..., 1:], power[..., None]], axis=-1)
+    E_new = jnp.mean(X, axis=-1)
+    E = jnp.concatenate([st.E[..., 1:], E_new[..., None]], axis=-1)
+    M = jnp.min(E, axis=-1)
+
+    T = power / jnp.maximum(M, 1e-30)
+    lam = jnp.where(T > p.psi, M, E_new)
+    G = jnp.maximum(1.0 - lam / jnp.maximum(E_new, 1e-30), 0.0)
+
+    # the reference only computes gains inside the VAD band
+    # (Noise.cpp:241-255); out-of-band gains stay at their zero init
+    bins = jnp.arange(HOP)
+    in_band = (bins >= p.vad_low) & (bins < p.vad_high)
+    G = jnp.where(in_band, G, 0.0)
+
+    Gts = p.alpha * st.Gts + (1.0 - p.alpha) * G
+
+    # 3-bin frequency smoothing with edge handling (Noise.cpp:258-263)
+    b, omb = p.beta, 1.0 - 2.0 * p.beta
+    left = jnp.concatenate([Gts[..., :1], Gts[..., :-1]], axis=-1)
+    right = jnp.concatenate([Gts[..., 1:], Gts[..., -1:]], axis=-1)
+    Gs = b * left + omb * Gts + b * right
+
+    full_gain = jnp.concatenate([Gs, Gs[..., ::-1]], axis=-1)
+    out = jnp.fft.ifft(spec * full_gain, axis=-1).real
+    audio = out[..., :HOP] + st.last_ifft
+    return KimState(hop_samples, out[..., HOP:], X, E, Gts), audio
+
+
+def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
+    """x: (..., 256) audio block at 24 kHz.  Returns (state, y)."""
+    window = jnp.asarray(_hann())
+    st, a0 = _kim_frame(p, st, x[..., :HOP], window)
+    st, a1 = _kim_frame(p, st, x[..., HOP:], window)
+    return st, jnp.concatenate([a0, a1], axis=-1) * p.post_gain
+
+
+# ----------------------------------------------------------------------
+# UHSDR spectral subtraction
+# ----------------------------------------------------------------------
+
+class SpectralParams(NamedTuple):
+    alpha: float = 0.95
+    asnr_db: float = 20.0
+    vad_low: int = 1
+    vad_high: int = HOP
+    width: int = 4
+    power_threshold: float = 0.4
+    tinc: float = HOP / C.AUDIO_RATE
+    tax: float = 0.0239
+    tap: float = 0.05062
+    psthr: float = 0.99
+    pnsaf: float = 0.01
+    pspri: float = 0.5
+    psini: float = 0.5
+    snr_prio_min_db: float = -20.0
+    init_frames: int = 20
+
+
+def spectral_params(f_lo: float = 200.0, f_hi: float = 3000.0,
+                    **kw) -> SpectralParams:
+    lo, hi = _vad_bins(f_lo, f_hi)
+    return SpectralParams(vad_low=lo, vad_high=hi, **kw)
+
+
+class SpectralState(NamedTuple):
+    last_sample: jnp.ndarray  # (..., 128)
+    last_ifft: jnp.ndarray    # (..., 128)
+    xt: jnp.ndarray           # (..., 128) noise estimate
+    pslp: jnp.ndarray         # (..., 128) smoothed speech probability
+    hk_old: jnp.ndarray       # (..., 128)
+    frames: jnp.ndarray       # (...,) int32 frame counter
+
+
+def spectral_state(channels: tuple[int, ...] = ()) -> SpectralState:
+    z = lambda v=0.0: np.full(channels + (HOP,), v, np.float32)  # noqa: E731
+    return SpectralState(z(), z(), z(1e-6), z(0.5), z(1.0),
+                         np.zeros(channels, np.int32))
+
+
+def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
+                    window):
+    ax = np.exp(-p.tinc / p.tax)
+    ap = np.exp(-p.tinc / p.tap)
+    xih1 = 10.0 ** (p.asnr_db / 10.0)
+    xih1r = 1.0 / (1.0 + xih1) - 1.0
+    pfac = (1.0 / p.pspri - 1.0) * (1.0 + xih1)
+    snr_prio_min = 10.0 ** (p.snr_prio_min_db / 20.0)
+
+    frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
+    spec = jnp.fft.fft(frame * window, axis=-1)
+    X = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
+
+    initializing = st.frames[..., None] < p.init_frames
+    # init phase: accumulate noise estimate over the first frames
+    xt_init = st.xt + 0.05 * p.psini * X
+
+    # running phase: speech-presence-probability noise tracking
+    ph1y = 1.0 / (1.0 + pfac * jnp.exp(
+        jnp.clip(xih1r * X / jnp.maximum(st.xt, 1e-30), -50.0, 50.0)))
+    pslp = ap * st.pslp + (1.0 - ap) * ph1y
+    ph1y = jnp.where(pslp > p.psthr, 1.0 - p.pnsaf, jnp.minimum(ph1y, 1.0))
+    xtr = (1.0 - ph1y) * X + ph1y * st.xt
+    xt_run = ax * st.xt + (1.0 - ax) * xtr
+
+    xt = jnp.where(initializing, xt_init, xt_run)
+    pslp = jnp.where(initializing, st.pslp, pslp)
+
+    snr_post = jnp.clip(X / jnp.maximum(xt, 1e-30), snr_prio_min, 1000.0)
+    snr_prio = jnp.maximum(
+        p.alpha * st.hk_old + (1.0 - p.alpha) * jnp.maximum(snr_post - 1.0, 0.0),
+        0.0)
+
+    v = snr_prio * snr_post / (1.0 + snr_prio)
+    G = jnp.sqrt(jnp.maximum(0.7212 * v + v * v, 0.0)) / snr_post
+    hk_old = snr_post * G * G
+
+    # musical-noise treatment: dynamic averaging window NN based on the
+    # in-band power ratio (intended algorithm; see module docstring)
+    bins = jnp.arange(HOP)
+    in_band = (bins >= p.vad_low) & (bins < p.vad_high)
+    pre = jnp.sum(jnp.where(in_band, X, 0.0), axis=-1)
+    post = jnp.sum(jnp.where(in_band, G * G * X, 0.0), axis=-1)
+    ratio = post / jnp.maximum(pre, 1e-30)
+    nn_f = jnp.where(ratio > p.power_threshold, 0.0,
+                     jnp.round(p.width * (1.0 - ratio / p.power_threshold)))
+
+    # NN in {1,3,5,7,9}: select among box-filtered versions of G
+    def smooth(g, nn):
+        pad = nn // 2
+        gp = jnp.concatenate(
+            [jnp.repeat(g[..., :1], pad, -1), g,
+             jnp.repeat(g[..., -1:], pad, -1)], axis=-1)
+        c = jnp.cumsum(gp, axis=-1)
+        zero = jnp.zeros_like(c[..., :1])
+        c = jnp.concatenate([zero, c], axis=-1)
+        return (c[..., nn:] - c[..., :-nn]) / nn
+
+    G1, G3, G5, G7, G9 = (smooth(G, nn) for nn in (1, 3, 5, 7, 9))
+    nn_idx = jnp.clip(nn_f, 0, 4).astype(jnp.int32)[..., None]
+    G_sm = jnp.select(
+        [nn_idx == 0, nn_idx == 1, nn_idx == 2, nn_idx == 3],
+        [G1, G3, G5, G7], G9)
+    G = jnp.where(in_band, G_sm, G)
+
+    full_gain = jnp.concatenate([G, G[..., ::-1]], axis=-1)
+    out = jnp.fft.ifft(spec * full_gain, axis=-1).real * window
+    audio = out[..., :HOP] + st.last_ifft
+    # during init, pass audio through untouched
+    audio = jnp.where(initializing, hop_samples, audio)
+
+    ns = SpectralState(hop_samples, out[..., HOP:], xt, pslp, hk_old,
+                       st.frames + 1)
+    return ns, audio
+
+
+def spectral_nr(p: SpectralParams, st: SpectralState, x: jnp.ndarray):
+    """x: (..., 256) audio block.  Returns (state, y)."""
+    window = jnp.asarray(_sqrt_hann())
+    st, a0 = _spectral_frame(p, st, x[..., :HOP], window)
+    st, a1 = _spectral_frame(p, st, x[..., HOP:], window)
+    return st, jnp.concatenate([a0, a1], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# WDSP variable-leak LMS (NR + autonotch)
+# ----------------------------------------------------------------------
+
+class XanrParams(NamedTuple):
+    taps: int = 64
+    delay: int = 16
+    two_mu: float = 1e-4
+    gamma: float = 0.1
+    den_mult: float = 6.25e-10
+    lidx_min: float = 120.0
+    lidx_max: float = 200.0
+    lincr: float = 1.0
+    ldecr: float = 3.0
+    notch: bool = False
+    post_gain: float = 1.5  # Process.cpp:855
+
+
+class XanrState(NamedTuple):
+    dline: jnp.ndarray  # (..., taps+delay) delay line, newest first
+    w: jnp.ndarray      # (..., taps) adaptive weights
+    lidx: jnp.ndarray   # (...,)
+    ngamma: jnp.ndarray
+
+
+def xanr_state(p: XanrParams, channels: tuple[int, ...] = ()) -> XanrState:
+    return XanrState(
+        dline=np.zeros(channels + (p.taps + p.delay,), np.float32),
+        w=np.zeros(channels + (p.taps,), np.float32),
+        lidx=np.full(channels, 120.0, np.float32),
+        ngamma=np.full(channels, 0.001, np.float32),
+    )
+
+
+def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray):
+    """Variable-leak LMS: x (..., N) real audio -> (state, y).
+
+    y is the predictor output (NR mode) or prediction error (notch mode).
+    The reference's power-of-two ring is expressed as a shift register:
+    dline[0] is the current sample, dline[delay:delay+taps] the regressor.
+    """
+    def step(s: XanrState, xn):
+        dline = jnp.concatenate(
+            [xn[..., None], s.dline[..., :-1]], axis=-1)
+        reg = dline[..., p.delay: p.delay + p.taps]
+        y = jnp.sum(s.w * reg, axis=-1)
+        sigma = jnp.sum(reg * reg, axis=-1)
+        inv_sigp = 1.0 / (sigma + 1e-10)
+        error = xn - y
+
+        out = error if p.notch else y
+
+        nel = jnp.abs(error * (1.0 - p.two_mu * sigma * inv_sigp))
+        nev = jnp.abs(xn - (1.0 - p.two_mu * s.ngamma) * y
+                      - p.two_mu * error * sigma * inv_sigp)
+        # reference quirk (Noise.cpp:353-358): on nev<nel, lidx+lincr is
+        # tried; if it would exceed max it clamps there, OTHERWISE lidx
+        # moves by (lincr - ldecr) net, clamped at min
+        over = (s.lidx + p.lincr) > p.lidx_max
+        lidx_new = jnp.where(
+            over, p.lidx_max,
+            jnp.maximum(s.lidx + p.lincr - p.ldecr, p.lidx_min))
+        lidx = jnp.where(nev < nel, lidx_new, s.lidx)
+        ngamma = p.gamma * (lidx ** 4) * p.den_mult
+
+        c0 = 1.0 - p.two_mu * ngamma
+        c1 = p.two_mu * error * inv_sigp
+        w = c0[..., None] * s.w + c1[..., None] * reg
+
+        return XanrState(dline, w, lidx, ngamma), out
+
+    xs = jnp.moveaxis(x, -1, 0)
+    st, ys = jax.lax.scan(step, st, xs)
+    return st, jnp.moveaxis(ys, 0, -1) * (1.0 if p.notch else p.post_gain)
