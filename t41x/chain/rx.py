@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from t41x import constants as C
-from t41x.demod import am as am_mod, nfm as nfm_mod, sam as sam_mod
+from t41x.demod import am as am_mod, cw as cw_mod, nfm as nfm_mod, sam as sam_mod
 from t41x.dsp import agc as agc_mod
 from t41x.dsp import eq as eq_mod
 from t41x.dsp import fir, firdesign as fd, iir, nco, nr as nr_mod, osfilter
@@ -55,6 +55,9 @@ class ChainSpec:
     agc_thresh_db: float = 20.0
     nfm_bw: float = 12000.0    # NFM decimator design BW (Filter.cpp:16)
     nr_mode: int = 0           # 0 off / 1 Kim / 2 spectral / 3 LMS
+    cw_decode: bool = True     # CW tone detection taps (mode 'cw' only)
+    cw_filter_index: int = 5   # 0..4 narrow audio LPF, 5 = off
+    cw_tone_hz: float = 750.0
     notch_on: bool = False     # automatic notch (Xanr error output)
     eq_on: bool = False        # 14-band receive EQ
     spectrum_zoom: int = -1    # -1 off / 0 zoom x1 / 1..7 zoom x2^z
@@ -104,6 +107,8 @@ class RxState(NamedTuple):
     int2: jnp.ndarray
     smeter_avg: jnp.ndarray  # (...,) audioMaxSquaredAve EMA
     nr: object               # NR state for the configured nr_mode (or ())
+    cw: object               # CW detector state (or ())
+    cw_lp: object            # CW narrow audio filter state (or ())
     notch: object            # Xanr notch state (or ())
     eq: object               # EQ biquad bank state (or ())
     zoom: object             # zoom-FFT state / zoom1 EMA (or ())
@@ -169,6 +174,19 @@ class RxChain:
         self.xanr_params = nr_mod.XanrParams(notch=False)
         self.notch_params = nr_mod.XanrParams(notch=True)
         self.eq = eq_mod.EQDesign(spec.sample_rate / C.DF) if spec.eq_on else None
+        self.cw = (cw_mod.CWDetector(spec.cw_tone_hz, spec.sample_rate / C.DF)
+                   if spec.mode == "cw" and spec.cw_decode else None)
+        if spec.mode == "cw" and spec.cw_filter_index < 5:
+            # selectable narrow CW audio low-pass (reference ships five
+            # 12-pole Chebyshev designs, FIR.cpp:15-66 / Process.cpp:882-912)
+            from scipy import signal as _sig
+            cutoffs = [800.0, 1000.0, 1300.0, 1800.0, 2000.0]
+            sos = _sig.cheby1(6, 0.2, cutoffs[spec.cw_filter_index],
+                              fs=spec.sample_rate / C.DF, output="sos")
+            self.cw_lp_b = sos[:, :3].astype(np.float32)
+            self.cw_lp_a = sos[:, 3:].astype(np.float32)
+        else:
+            self.cw_lp_b = None
         self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
                                              spec.sample_rate)
                         if spec.spectrum_zoom >= 1 else None)
@@ -193,6 +211,9 @@ class RxChain:
             int2=np.zeros(channels + (len(self.hi2) // C.DF1 - 1,),
                           np.float32),
             smeter_avg=np.zeros(channels, np.float32),
+            cw=(self.cw.init_state(channels) if self.cw else ()),
+            cw_lp=(iir.biquad_state(channels, self.cw_lp_b.shape[0])
+                   if self.cw_lp_b is not None else ()),
             nr=(nr_mod.kim_state(channels) if self.spec.nr_mode == 1 else
                 nr_mod.spectral_state(channels) if self.spec.nr_mode == 2
                 else nr_mod.xanr_state(self.xanr_params, channels)
@@ -325,6 +346,17 @@ class RxChain:
             notch_state, audio = nr_mod.xanr(self.notch_params, notch_state,
                                              audio)
 
+        # --- CW processing (Process.cpp:878-913) -------------------------
+        cw_state, cw_lp_state = state.cw, state.cw_lp
+        if self.cw is not None:
+            cw_state, keyed, combined = self.cw.block(cw_state, audio)
+            outputs["cw_keyed"] = keyed
+            outputs["cw_combined"] = combined
+        if self.cw_lp_b is not None:
+            cw_lp_state, audio = iir.biquad_apply(
+                cw_lp_state, audio, jnp.asarray(self.cw_lp_b),
+                jnp.asarray(self.cw_lp_a))
+
         outputs["audio_24k"] = audio
 
         # --- interpolation back to 192 kHz + volume ----------------------
@@ -342,8 +374,8 @@ class RxChain:
 
         new_state = RxState(dc_bq, nco_phase, dec1, dec2, osf, agc_state,
                             am_dc, am_bq, sam_state, nfm_last, int1, int2,
-                            smeter_avg, nr_state, notch_state, eq_state,
-                            zoom_state)
+                            smeter_avg, nr_state, cw_state, cw_lp_state,
+                            notch_state, eq_state, zoom_state)
         return new_state, outputs
 
     # ------------------------------------------------------------------
