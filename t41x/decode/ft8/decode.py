@@ -1,0 +1,113 @@
+"""FT8 decoder orchestration.
+
+Device side: waterfall -> vectorized Costas sync -> batched soft-bit
+extraction -> candidate-parallel LDPC BP (one jitted pipeline).
+Host side: CRC-14 check, 77-bit unpacking, dedupe — the branchy tail of
+the reference's `ft8_decode` (tmr4/T41_SDR `ft8.cpp:727-887`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t41x.decode.ft8 import crc, ldpc, message, sync, waterfall
+from t41x.decode.ft8.tables import GRAY
+
+
+@dataclass
+class Decoded:
+    text: str
+    score: float
+    time_offset: int
+    freq_hz: float
+    bits77: np.ndarray
+
+
+def extract_llrs(wf: jnp.ndarray, cands: sync.Candidates,
+                 max_time_pad: int = 7):
+    """Soft bits for each candidate (reference `extract_likelihood` +
+    `decode_symbol`, `ft8.cpp:320-332,424-463`), batched over candidates.
+
+    wf: (n_slots, 2, 2, n_bins).  Returns (K, 174) normalized LLRs.
+    """
+    pad = max_time_pad
+    wfp = jnp.pad(wf, ((pad, pad), (0, 0), (0, 0), (0, 0)))
+
+    k_data = np.arange(58)
+    sym_idx = np.where(k_data < 29, k_data + 7, k_data + 14)  # skip sync
+
+    slots = cands.time_offset[:, None] + pad + jnp.asarray(sym_idx)  # (K,58)
+    # gather 8 tone bins per data symbol: (K, 58, 8)
+    bins = cands.freq_offset[:, None, None] + jnp.arange(8)[None, None, :]
+    p8 = wfp[slots[..., None], cands.time_sub[:, None, None],
+             cands.freq_sub[:, None, None], bins]
+
+    gray = jnp.asarray(GRAY)
+    s2 = jnp.take_along_axis(
+        p8, jnp.broadcast_to(gray, p8.shape), axis=-1)  # s2[j]=p8[gray[j]]
+
+    def max_over(idx):
+        return jnp.max(s2[..., jnp.asarray(idx)], axis=-1)
+
+    b0 = max_over([4, 5, 6, 7]) - max_over([0, 1, 2, 3])
+    b1 = max_over([2, 3, 6, 7]) - max_over([0, 1, 4, 5])
+    b2 = max_over([1, 3, 5, 7]) - max_over([0, 2, 4, 6])
+    llr = jnp.stack([b0, b1, b2], axis=-1).reshape(b0.shape[0], -1)  # (K,174)
+
+    # variance normalization to sigma=4 (ft8.cpp:451-462)
+    mean = jnp.mean(llr, axis=-1, keepdims=True)
+    var = jnp.mean(llr * llr, axis=-1, keepdims=True) - mean * mean
+    return llr * jnp.sqrt(16.0 / jnp.maximum(var, 1e-12))
+
+
+def _device_pipeline(audio, k_candidates: int, bp_iters: int):
+    wf = waterfall.compute_waterfall(audio)
+    cands = sync.find_candidates(wf, k_candidates)
+    llrs = extract_llrs(wf, cands)
+    result = ldpc.bp_decode(llrs, bp_iters)
+    return cands, result
+
+
+_jit_pipeline = jax.jit(_device_pipeline, static_argnums=(1, 2))
+
+
+def decode_audio(audio: np.ndarray, k_candidates: int = 20,
+                 bp_iters: int = 25, rate: float = 24000.0,
+                 base_bin_hz: float = waterfall.TONE_SPACING
+                 ) -> list[Decoded]:
+    """Demodulated USB audio (15 s slot at 24 kHz) -> decoded messages."""
+    cands, result = _jit_pipeline(jnp.asarray(audio, jnp.float32),
+                                  k_candidates, bp_iters)
+    from t41x.utils.transfer import fetch
+
+    errors = fetch(result.errors)
+    bits = fetch(result.bits)
+    scores = fetch(cands.score)
+    dts = fetch(cands.time_offset)
+    dfs = fetch(cands.freq_offset)
+    fsub = fetch(cands.freq_sub)
+
+    out: list[Decoded] = []
+    seen: set[str] = set()
+    for i in np.argsort(-scores):
+        if errors[i] != 0:
+            continue
+        b = np.asarray(bits[i]).astype(np.uint8)
+        if not crc.check_crc(b[:91]):
+            continue
+        text = message.unpack77(b[:77])
+        if text in seen:
+            continue
+        seen.add(text)
+        out.append(Decoded(
+            text=text,
+            score=float(scores[i]),
+            time_offset=int(dts[i]),
+            freq_hz=float(dfs[i] * base_bin_hz + fsub[i] * base_bin_hz / 2),
+            bits77=b[:77],
+        ))
+    return out

@@ -1,0 +1,110 @@
+"""FT8 unit + end-to-end decode tests."""
+
+import numpy as np
+import pytest
+
+from t41x import constants as C
+from t41x.decode.ft8 import crc, encode, ldpc, message, tables
+from t41x.decode.ft8 import decode as ft8_decode
+from t41x.io import signals
+
+
+def test_message_pack_unpack_roundtrip():
+    for msg in ["CQ K1ABC FN42", "K1ABC W9XYZ EM77", "W9XYZ K1ABC -11",
+                "K1ABC W9XYZ RRR", "W9XYZ K1ABC 73", "K1ABC W9XYZ R-09"]:
+        bits = message.pack77(msg)
+        assert bits.shape == (77,)
+        assert message.unpack77(bits) == msg, msg
+
+
+def test_free_text_roundtrip():
+    bits = message.pack_free_text("TNX BOB 73 GL")
+    assert message.unpack77(bits) == "TNX BOB 73 GL"
+
+
+def test_crc_roundtrip():
+    bits = message.pack77("CQ K1ABC FN42")
+    a91 = crc.add_crc(bits)
+    assert crc.check_crc(a91)
+    bad = a91.copy()
+    bad[5] ^= 1
+    assert not crc.check_crc(bad)
+
+
+def test_ldpc_encode_valid_and_bp_corrects_errors():
+    bits = message.pack77("CQ K1ABC FN42")
+    cw = encode.encode_bits(bits)
+    assert ((tables.H @ cw) % 2 == 0).all()
+    # clean LLRs decode to the codeword
+    llr = (2.0 * cw.astype(np.float32) - 1.0) * 4.0
+    res = ldpc.bp_decode(llr[None])
+    assert int(res.errors[0]) == 0
+    np.testing.assert_array_equal(np.asarray(res.bits[0]), cw)
+    # flip 15 bits: BP should still recover
+    rng = np.random.default_rng(2)
+    noisy = llr.copy()
+    flips = rng.choice(174, 15, replace=False)
+    noisy[flips] *= -1
+    res = ldpc.bp_decode(noisy[None])
+    assert int(res.errors[0]) == 0
+    np.testing.assert_array_equal(np.asarray(res.bits[0]), cw)
+
+
+def test_tones_structure():
+    tones = encode.encode("CQ K1ABC FN42")
+    assert tones.shape == (79,)
+    np.testing.assert_array_equal(tones[0:7], tables.COSTAS)
+    np.testing.assert_array_equal(tones[36:43], tables.COSTAS)
+    np.testing.assert_array_equal(tones[72:79], tables.COSTAS)
+    assert tones.min() >= 0 and tones.max() <= 7
+
+
+def test_ft8_decode_clean_audio():
+    msg = "CQ K1ABC FN42"
+    audio = encode.synth_audio(encode.encode(msg), base_freq=1200.0)
+    # embed in a 14 s slot
+    slot = np.zeros(int(14 * C.AUDIO_RATE), np.float32)
+    start = int(1.0 * C.AUDIO_RATE)
+    slot[start: start + len(audio)] = audio
+    decoded = ft8_decode.decode_audio(slot)
+    assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+    hit = next(d for d in decoded if d.text == msg)
+    assert abs(hit.freq_hz - 1200.0) < 7.0
+
+
+def test_ft8_decode_noisy_audio():
+    msg = "K1ABC W9XYZ EM77"
+    audio = encode.synth_audio(encode.encode(msg), base_freq=800.0, amp=0.1)
+    slot = signals.awgn(int(14 * C.AUDIO_RATE), 0.2, seed=7,
+                        complex_=False).astype(np.float32)
+    start = int(0.7 * C.AUDIO_RATE)
+    slot[start: start + len(audio)] += audio
+    decoded = ft8_decode.decode_audio(slot)
+    assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+
+
+def test_ft8_decode_two_signals():
+    m1, m2 = "CQ K1ABC FN42", "W9XYZ K1ABC -11"
+    a1 = encode.synth_audio(encode.encode(m1), base_freq=900.0, amp=0.3)
+    a2 = encode.synth_audio(encode.encode(m2), base_freq=1800.0, amp=0.2)
+    slot = np.zeros(int(14 * C.AUDIO_RATE), np.float32)
+    slot[int(0.5 * C.AUDIO_RATE): int(0.5 * C.AUDIO_RATE) + len(a1)] += a1
+    slot[int(1.1 * C.AUDIO_RATE): int(1.1 * C.AUDIO_RATE) + len(a2)] += a2
+    texts = [d.text for d in ft8_decode.decode_audio(slot)]
+    assert m1 in texts and m2 in texts, texts
+
+
+def test_ft8_full_rf_chain_decode():
+    """BASELINE config: FT8 over the full RX chain — 192 kHz I/Q capture
+    -> decimate -> overlap-save USB filter -> audio -> FT8 decode."""
+    from t41x.chain import ChainSpec, RxChain
+
+    msg = "CQ K1ABC FN42"
+    iq = encode.synth_iq(msg, base_freq=1200.0, amp=0.4)
+    n_blocks = len(iq) // C.BLOCK_SIZE
+    iq = iq[: n_blocks * C.BLOCK_SIZE]
+    chain = RxChain(ChainSpec(mode="ft8", interpolate_out=False,
+                              agc_mode=0))
+    audio = np.array(chain.run(np.asarray(iq))["audio_24k"], np.float32)
+    decoded = ft8_decode.decode_audio(audio)
+    assert any(d.text == msg for d in decoded), [d.text for d in decoded]
