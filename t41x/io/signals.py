@@ -142,15 +142,17 @@ def awgn(n: int, sigma: float, seed: int = 0, complex_: bool = True):
 
 
 def voice_proxy(n_audio: int, fs_audio: float = C.AUDIO_RATE,
-                seed: int = 1) -> np.ndarray:
-    """Speech-band noise proxy: pink-ish noise band-limited to 300-2700 Hz
-    with syllabic (4 Hz) amplitude modulation — a stand-in for voice in
-    SSB TX/RX round-trip tests."""
+                seed: int = 1, f_lo: float = 300.0,
+                f_hi: float = 2700.0) -> np.ndarray:
+    """Speech-band noise proxy: pink-ish noise band-limited to
+    [f_lo, f_hi] with syllabic (4 Hz) amplitude modulation — a stand-in
+    for voice in SSB TX/RX round-trip tests."""
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(n_audio)
     X = np.fft.rfft(x)
     f = np.fft.rfftfreq(n_audio, 1.0 / fs_audio)
-    shape = np.where((f > 300) & (f < 2700), 1.0 / np.sqrt(np.maximum(f, 300.0)), 0.0)
+    shape = np.where((f > f_lo) & (f < f_hi),
+                     1.0 / np.sqrt(np.maximum(f, f_lo)), 0.0)
     x = np.fft.irfft(X * shape, n_audio)
     t = np.arange(n_audio) / fs_audio
     x *= 0.6 + 0.4 * np.sin(2.0 * np.pi * 4.0 * t)

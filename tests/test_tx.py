@@ -1,0 +1,121 @@
+"""Transmit chain tests: SSB exciter sideband purity, CW exciter keying,
+TX->RX loopback, and IQ calibration."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from t41x import constants as C
+from t41x.chain import ChainSpec, RxChain
+from t41x.chain import cal, tx
+from t41x.io import signals
+
+
+def run_exciter(exciter, mic, params=None, channels=()):
+    params = params or tx.default_tx_params(channels)
+    st = exciter.init_state(channels)
+    outs = []
+    for i in range(len(mic) // C.BLOCK_SIZE):
+        st, iq = exciter.block(params, st,
+                               jnp.asarray(mic[i * C.BLOCK_SIZE:
+                                               (i + 1) * C.BLOCK_SIZE]))
+        outs.append(np.asarray(iq))
+    return np.concatenate(outs)
+
+
+def test_ssb_exciter_usb_sideband_purity():
+    n = 8 * C.BLOCK_SIZE
+    t = np.arange(n) / C.SAMPLE_RATE
+    mic = (0.3 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    ex = tx.SSBExciter(tx.TxSpec(sideband="usb"))
+    iq = run_exciter(ex, mic)[2 * C.BLOCK_SIZE:]
+    rej = cal.image_rejection_db(iq, 1000.0)
+    assert rej > 30.0, rej
+
+
+def test_ssb_exciter_lsb_mirror():
+    n = 8 * C.BLOCK_SIZE
+    t = np.arange(n) / C.SAMPLE_RATE
+    mic = (0.3 * np.sin(2 * np.pi * 800.0 * t)).astype(np.float32)
+    ex = tx.SSBExciter(tx.TxSpec(sideband="lsb"))
+    iq = run_exciter(ex, mic)[2 * C.BLOCK_SIZE:]
+    rej = cal.image_rejection_db(iq, 800.0)
+    assert rej < -30.0, rej  # energy on the negative side
+
+
+def test_tx_rx_loopback_audio_fidelity():
+    """Voice proxy through TX then RX recovers the audio (the
+    reference's cal-loopback concept as an automated integration test)."""
+    n = 30 * C.BLOCK_SIZE
+    # generate the mic signal band-limited directly at 192 kHz (a crude
+    # zero-order-hold upsample would alias through the TX decimators);
+    # keep energy inside both the TX hilbert band and the RX band-pass
+    mic = signals.voice_proxy(n, fs_audio=C.SAMPLE_RATE,
+                              f_lo=600.0, f_hi=2400.0)
+    audio_in = mic[:: C.DF]  # band-limited, so subsampling is exact
+    ex = tx.SSBExciter(tx.TxSpec(sideband="usb"))
+    iq_tx = run_exciter(ex, mic)
+    # place at the RX frequency plan: RX expects signal at -fs/4
+    t = np.arange(len(iq_tx)) / C.SAMPLE_RATE
+    iq_rx = (iq_tx * np.exp(-2j * np.pi * (C.SAMPLE_RATE / 4) * t) * 0.01
+             ).astype(np.complex64)
+    chain = RxChain(ChainSpec(mode="usb", interpolate_out=False,
+                              agc_mode=0))
+    audio_out = np.array(chain.run(iq_rx)["audio_24k"])
+    a, b = audio_out[4096:], audio_in[4096:]
+    m = min(len(a), len(b))
+    a, b = a[:m], b[:m]
+    # align via cross-correlation (several filter group delays in chain),
+    # including fractional-sample alignment in the frequency domain
+    xc = np.fft.irfft(np.fft.rfft(a) * np.conj(np.fft.rfft(b)))
+    d = int(np.argmax(np.abs(xc)))
+    if d > m // 2:
+        d -= m
+    shift_b = np.fft.irfft(np.fft.rfft(b)
+                           * np.exp(-2j * np.pi * np.fft.rfftfreq(m) * d), m)
+    # refine fractional delay +-1 sample
+    best = -99.0
+    for frac in np.linspace(-1.5, 1.5, 31):
+        bb = np.fft.irfft(np.fft.rfft(shift_b) * np.exp(
+            -2j * np.pi * np.fft.rfftfreq(m) * frac), m)
+        best = max(best, signals.snr_db(a[1000:-1000], bb[1000:-1000]))
+    assert best > 10.0, (best, d)
+
+
+def test_cw_exciter_keying_and_tone():
+    ex = tx.CWExciter()
+    st = ex.init_state()
+    blocks = []
+    for key in [1, 1, 1, 0, 0, 1, 0, 0]:
+        st, iq = ex.block(st, jnp.asarray(float(key)))
+        blocks.append(np.asarray(iq))
+    iq = np.concatenate(blocks)
+    # keyed blocks have power, unkeyed decay to ~0
+    p = np.abs(iq.reshape(8, C.BLOCK_SIZE))[:, -256:].mean(1)
+    assert p[1] > 10 * p[4]
+    # tone frequency is 750 Hz
+    seg = iq[C.BLOCK_SIZE: 2 * C.BLOCK_SIZE]
+    freq = np.angle(seg[1:] * np.conj(seg[:-1])).mean() * C.SAMPLE_RATE / (2 * np.pi)
+    assert abs(freq - 750.0) < 5.0, freq
+
+
+def test_iq_calibration_converges():
+    """Simulated analog IQ imbalance is corrected by the cal loop."""
+    n = 4 * C.BLOCK_SIZE
+    t = np.arange(n) / C.SAMPLE_RATE
+    mic = (0.3 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    ex = tx.SSBExciter(tx.TxSpec(sideband="usb"))
+
+    def hardware(iq):
+        # analog imperfection: gain + phase skew on I
+        i, q = iq.real, iq.imag
+        return (1.08 * i + 0.06 * q) + 1j * q
+
+    def measure(amp, phase):
+        p = tx.default_tx_params()._replace(
+            iq_amp=np.float32(amp), iq_phase=np.float32(phase))
+        iq = run_exciter(ex, mic, params=p)[C.BLOCK_SIZE:]
+        return cal.image_rejection_db(hardware(iq), 1000.0)
+
+    base = measure(1.0, 0.0)
+    amp, phase, best = cal.calibrate_iq(measure, steps=10)
+    assert best > base + 10.0, (base, best)
