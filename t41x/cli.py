@@ -1,0 +1,99 @@
+"""t41x command-line interface.
+
+    python -m t41x.cli rx    --in cap.wav --mode usb --out audio.wav
+    python -m t41x.cli ft8   --in cap.wav
+    python -m t41x.cli cw    --in cap.wav
+    python -m t41x.cli psk31 --in cap.wav --tone 1000
+    python -m t41x.cli info
+
+Captures are stereo WAV files (L=I, R=Q) at 192 kHz.  Config persists to
+--config (JSON, the EEPROM/SD analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="t41x")
+    ap.add_argument("--config", default=None,
+                    help="JSON config path (persisted)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    rx = sub.add_parser("rx", help="demodulate a capture to audio")
+    rx.add_argument("--in", dest="inp", required=True)
+    rx.add_argument("--out", default=None, help="output audio WAV")
+    rx.add_argument("--mode", default=None,
+                    choices=["usb", "lsb", "am", "sam", "nfm", "cw"])
+    rx.add_argument("--nco", type=float, default=None)
+    rx.add_argument("--flo", type=float, default=None)
+    rx.add_argument("--fhi", type=float, default=None)
+    rx.add_argument("--agc", type=int, default=None)
+    rx.add_argument("--nr", type=int, default=None)
+
+    for name in ("ft8", "cw", "psk31"):
+        p = sub.add_parser(name, help=f"decode {name} from a capture")
+        p.add_argument("--in", dest="inp", required=True)
+        p.add_argument("--nco", type=float, default=None)
+        if name == "psk31":
+            p.add_argument("--tone", type=float, default=1000.0)
+
+    sub.add_parser("info", help="print configuration")
+
+    args = ap.parse_args(argv)
+
+    from t41x.config import RadioConfig
+    from t41x.radio import Radio
+
+    cfg = RadioConfig.load(args.config) if args.config else RadioConfig()
+    radio = Radio(cfg)
+
+    if args.cmd == "info":
+        print(json.dumps(cfg.to_dict(), indent=2))
+        return 0
+
+    from t41x.io import wav
+
+    iq, rate = wav.read_iq_wav(args.inp)
+    if getattr(args, "nco", None) is not None:
+        radio.set_fine_tune(args.nco)
+
+    if args.cmd == "rx":
+        if args.mode:
+            radio.set_mode(args.mode)
+        if args.flo is not None or args.fhi is not None:
+            radio.set_filter(args.flo if args.flo is not None
+                             else cfg.band.f_lo_cut,
+                             args.fhi if args.fhi is not None
+                             else cfg.band.f_hi_cut)
+        if args.agc is not None:
+            radio.set_agc(args.agc)
+        if args.nr is not None:
+            radio.set_nr(args.nr)
+        out = radio.receive(iq)
+        audio = out["audio_24k"]
+        peak = float(abs(audio).max() or 1.0)
+        if args.out:
+            wav.write_wav(args.out, audio / (1.05 * peak), 24000)
+            print(f"wrote {args.out}: {audio.shape[-1]} samples @24 kHz")
+        m = radio.metrics
+        print(f"processed {m['input_samples']} samples in "
+              f"{m['wall_s']:.2f} s ({m['realtime_channels']:.1f}x realtime)")
+    elif args.cmd == "ft8":
+        for d in radio.decode_ft8(iq):
+            print(f"{d.freq_hz:7.1f} Hz  score {d.score:6.1f}  {d.text}")
+    elif args.cmd == "cw":
+        print(radio.decode_cw(iq))
+    elif args.cmd == "psk31":
+        print(radio.decode_psk31(iq, tone_hz=args.tone))
+
+    if args.config:
+        cfg.save(args.config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,163 @@
+"""High-level radio API.
+
+The user-facing surface of t41x: a `Radio` holds a `RadioConfig`
+(persistable), builds the matching compiled RX/TX chains, and exposes the
+reference's control operations (band/mode/tune/volume — the encoder and
+button semantics of tmr4/T41_SDR `ButtonProc.cpp`/`Encoders.cpp`) as
+methods, plus capture-level receive/decode entry points.
+
+Control mutations are staged between processing calls (the functional
+replacement for the reference's ISR-mutates-globals model, SURVEY §2.4):
+changing band/mode swaps in a different compiled chain; changing dynamic
+parameters just updates the `ChannelParams` arrays.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from t41x import constants as C
+from t41x.chain import ChainSpec, ChannelParams, RxChain, default_params
+from t41x.config import RadioConfig
+
+
+class Radio:
+    def __init__(self, config: RadioConfig | None = None):
+        self.config = config or RadioConfig()
+        self._chain: RxChain | None = None
+        self._chain_spec: ChainSpec | None = None
+        self.metrics: dict = {}
+
+    # --- control surface (reference: buttons/encoders/menus) ----------
+    def set_band(self, index_or_name) -> None:
+        cfg = self.config
+        if isinstance(index_or_name, str):
+            names = [b.name for b in cfg.bands]
+            index_or_name = names.index(index_or_name.upper())
+        cfg.current_band = int(index_or_name)
+        cfg.center_freq = cfg.band.freq
+        self._chain = None
+
+    def set_mode(self, mode: str) -> None:
+        self.config.band.mode = mode
+        # SetupMode defaults (Filter.cpp:341-385)
+        if mode in ("usb", "ft8", "psk31", "nfm", "cw"):
+            self.config.band.f_lo_cut, self.config.band.f_hi_cut = 200, 3000
+        elif mode == "lsb":
+            self.config.band.f_lo_cut, self.config.band.f_hi_cut = -3000, -200
+        elif mode in ("am", "sam"):
+            self.config.band.f_lo_cut, self.config.band.f_hi_cut = -3000, 3000
+        self._chain = None
+
+    def set_filter(self, f_lo: float, f_hi: float) -> None:
+        self.config.band.f_lo_cut = int(f_lo)
+        self.config.band.f_hi_cut = int(f_hi)
+        self._chain = None
+
+    def set_fine_tune(self, hz: float) -> None:
+        self.config.nco_freq = float(hz)
+
+    def set_volume(self, vol: int) -> None:
+        self.config.audio_volume = int(np.clip(vol, 0, 100))
+
+    def set_agc(self, mode: int) -> None:
+        self.config.agc_mode = int(mode)
+        self._chain = None
+
+    def set_nr(self, mode: int) -> None:
+        self.config.nr_mode = int(mode)
+        self._chain = None
+
+    def set_zoom(self, zoom: int) -> None:
+        self.config.spectrum_zoom = int(zoom)
+        self._chain = None
+
+    # --- chain management ---------------------------------------------
+    @property
+    def chain(self) -> RxChain:
+        if self._chain is None:
+            cfg = self.config
+            spec = ChainSpec(
+                mode=cfg.band.mode,
+                f_lo=float(cfg.band.f_lo_cut),
+                f_hi=float(cfg.band.f_hi_cut),
+                agc_mode=cfg.agc_mode,
+                agc_thresh_db=float(cfg.band.agc_thresh),
+                nr_mode=cfg.nr_mode,
+                notch_on=cfg.notch_on,
+                eq_on=cfg.receive_eq_on,
+                spectrum_zoom=cfg.spectrum_zoom,
+                cw_filter_index=cfg.cw_filter_index,
+                cw_tone_hz=cfg.cw_sidetone_hz,
+                interpolate_out=False,
+            )
+            self._chain = RxChain(spec)
+            self._chain_spec = spec
+        return self._chain
+
+    def params(self, channels: tuple[int, ...] = ()) -> ChannelParams:
+        cfg = self.config
+        p = default_params(channels, nco_freq=cfg.nco_freq,
+                           volume=cfg.audio_volume)
+        return p._replace(
+            rf_gain_db=np.full(channels, cfg.rf_gain_all_bands, np.float32),
+            band_gain=np.full(channels, float(cfg.band.rf_gain), np.float32),
+            iq_amp=np.full(channels, cfg.band.iq_amp_correction, np.float32),
+            iq_phase=np.full(channels, cfg.band.iq_phase_correction,
+                             np.float32),
+            eq_gains=np.asarray(cfg.equalizer_rec, np.float32)[None].repeat(
+                max(int(np.prod(channels)), 1), 0).reshape(
+                channels + (14,)) / 100.0,
+        )
+
+    # --- capture processing -------------------------------------------
+    def receive(self, iq: np.ndarray) -> dict:
+        """Run a capture through the configured chain.  iq: (..., N)
+        complex64 at 192 kHz.  Returns the chain outputs plus metrics."""
+        ch = iq.shape[:-1]
+        t0 = time.perf_counter()
+        out = self.chain.run(iq, params=self.params(ch))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        dt = time.perf_counter() - t0
+        n_samples = int(np.prod(iq.shape))
+        self.metrics = {
+            "wall_s": dt,
+            "input_samples": n_samples,
+            "samples_per_sec": n_samples / dt,
+            "realtime_channels": n_samples / dt / C.SAMPLE_RATE,
+            "mode": self.config.band.mode,
+        }
+        return out
+
+    def receive_wav(self, path: str) -> dict:
+        from t41x.io import wav
+
+        iq, rate = wav.read_iq_wav(path)
+        if rate != C.SAMPLE_RATE:
+            raise ValueError(f"{path}: expected {C.SAMPLE_RATE} Hz I/Q, "
+                             f"got {rate}")
+        return self.receive(iq)
+
+    # --- decoders ------------------------------------------------------
+    def decode_ft8(self, iq: np.ndarray) -> list:
+        self.set_mode("ft8")
+        out = self.receive(iq)
+        from t41x.decode.ft8 import decode as ft8
+
+        return ft8.decode_audio(out["audio_24k"].astype(np.float32))
+
+    def decode_cw(self, iq: np.ndarray) -> str:
+        self.set_mode("cw")
+        out = self.receive(iq)
+        from t41x.decode import cw_text
+
+        return cw_text.decode_envelope(out["cw_keyed"].astype(bool))
+
+    def decode_psk31(self, iq: np.ndarray, tone_hz: float = 1000.0) -> str:
+        self.set_mode("psk31")
+        out = self.receive(iq)
+        from t41x.decode import psk31
+
+        return psk31.decode_capture(out["iq_baseband"], tone_hz=tone_hz)

@@ -1,0 +1,109 @@
+"""Radio API, config persistence, beacon monitor, CLI tests."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+from t41x import constants as C
+from t41x.config import CONFIG_VERSION, RadioConfig
+from t41x.decode import beacon
+from t41x.io import signals, wav
+from t41x.radio import Radio
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = RadioConfig()
+    cfg.audio_volume = 42
+    cfg.bands[2].f_hi_cut = 2800
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+    cfg2 = RadioConfig.load(p)
+    assert cfg2.audio_volume == 42
+    assert cfg2.bands[2].f_hi_cut == 2800
+
+
+def test_config_version_mismatch_restores_defaults(tmp_path):
+    p = str(tmp_path / "cfg.json")
+    d = RadioConfig().to_dict()
+    d["version"] = CONFIG_VERSION + 99
+    d["audio_volume"] = 13
+    with open(p, "w") as f:
+        json.dump(d, f)
+    cfg = RadioConfig.load(p)
+    assert cfg.audio_volume == RadioConfig().audio_volume
+
+
+def test_radio_receive_and_band_switching():
+    radio = Radio()
+    assert radio.config.band.name == "20M"
+    n = 20 * C.BLOCK_SIZE
+    iq = signals.usb_signal([1000.0], n) * 0.25
+    out = radio.receive(iq)
+    snr = signals.tone_fit_snr(out["audio_24k"][4096:], [1000.0],
+                               C.AUDIO_RATE)
+    assert snr > 30.0, snr
+    assert radio.metrics["samples_per_sec"] > 0
+
+    radio.set_band("40M")  # LSB band
+    assert radio.config.band.mode == "lsb"
+    iq = signals.lsb_signal([900.0], n) * 0.25
+    out = radio.receive(iq)
+    snr = signals.tone_fit_snr(out["audio_24k"][4096:], [900.0],
+                               C.AUDIO_RATE)
+    assert snr > 30.0, snr
+
+
+def test_radio_fine_tune():
+    radio = Radio()
+    radio.set_fine_tune(3000.0)
+    n = 20 * C.BLOCK_SIZE
+    iq = signals.usb_signal([800.0], n, nco=3000.0) * 0.25
+    out = radio.receive(iq)
+    snr = signals.tone_fit_snr(out["audio_24k"][4096:], [800.0],
+                               C.AUDIO_RATE)
+    assert snr > 30.0, snr
+
+
+def test_beacon_slot_snr_and_report():
+    # synth dBm series: 5 bands x 4 slots, band k slot s has SNR 10+k+s
+    bps = int(round(beacon.SLOT_SECONDS / C.BLOCK_SECONDS))
+    n_slots = 4
+    rng = np.random.default_rng(0)
+    dbm = np.full((5, n_slots * bps), -120.0)
+    for k in range(5):
+        for s in range(n_slots):
+            seg = slice(s * bps, (s + 1) * bps)
+            dbm[k, seg] = -120.0 + rng.uniform(0, 0.1, bps)
+            dbm[k, s * bps + 10: s * bps + 40] = -120.0 + 10 + k + s
+    snr = beacon.slot_snr(dbm)
+    assert snr.shape == (5, n_slots)
+    for k in range(5):
+        for s in range(n_slots):
+            assert abs(snr[k, s] - (10 + k + s)) < 0.2
+
+    rep = beacon.monitor_capture(dbm, start_slot=0)
+    # slot 0: band 0 heard beacon 0, band 1 heard beacon 17, ...
+    assert abs(rep.snr[0, 0] - 10.0) < 0.2
+    assert abs(rep.snr[(0 - 1) % 18, 1] - 11.0) < 0.2
+    assert "4U1UN" in rep.render()
+
+
+def test_cli_rx_and_ft8(tmp_path):
+    n = 20 * C.BLOCK_SIZE
+    iq = signals.usb_signal([700.0], n) * 0.25
+    cap = str(tmp_path / "cap.wav")
+    wav.write_iq_wav(cap, iq, C.SAMPLE_RATE)
+    audio_out = str(tmp_path / "audio.wav")
+    r = subprocess.run(
+        [sys.executable, "-m", "t41x.cli", "rx", "--in", cap,
+         "--out", audio_out, "--mode", "usb"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    audio, rate = wav.read_wav(audio_out)
+    assert rate == 24000
+    snr = signals.tone_fit_snr(audio[4096:], [700.0], 24000)
+    assert snr > 25.0, snr
