@@ -55,6 +55,7 @@ class ChainSpec:
     agc_thresh_db: float = 20.0
     nfm_bw: float = 12000.0    # NFM decimator design BW (Filter.cpp:16)
     nr_mode: int = 0           # 0 off / 1 Kim / 2 spectral / 3 LMS
+    nb_on: bool = False        # LPC impulse noise blanker
     cw_decode: bool = True     # CW tone detection taps (mode 'cw' only)
     cw_filter_index: int = 5   # 0..4 narrow audio LPF, 5 = off
     cw_tone_hz: float = 750.0
@@ -345,6 +346,11 @@ class RxChain:
         if spec.notch_on:
             notch_state, audio = nr_mod.xanr(self.notch_params, notch_state,
                                              audio)
+
+        # --- noise blanker (Process.cpp:873-876) -------------------------
+        if spec.nb_on:
+            from t41x.dsp import nb as nb_mod
+            audio = nb_mod.noise_blanker(audio)
 
         # --- CW processing (Process.cpp:878-913) -------------------------
         cw_state, cw_lp_state = state.cw, state.cw_lp
