@@ -64,6 +64,7 @@ class ChainSpec:
     spectrum_zoom: int = -1    # -1 off / 0 zoom x1 / 1..7 zoom x2^z
     interpolate_out: bool = True
     use_matmul_osfilter: bool = True
+    use_pallas: bool = False   # Pallas TPU kernel for the OS filter
     spectrum_taps: bool = True  # emit audio-spectrum + S-meter taps
     sample_rate: float = C.SAMPLE_RATE
     fft_length: int = C.FFT_LENGTH
@@ -291,8 +292,13 @@ class RxChain:
         if spec.mode in SSB_FAMILY + ("am", "sam"):
             x = x * self.vol_scale
             if spec.use_matmul_osfilter and not spec.spectrum_taps:
-                osf, y = osfilter.os_filter_matmul(osf, x,
-                                                   jnp.asarray(self.os_W))
+                if spec.use_pallas:
+                    from t41x.kernels import os_filter_matmul_pallas
+                    osf, y = os_filter_matmul_pallas(
+                        osf, x, jnp.asarray(self.os_W))
+                else:
+                    osf, y = osfilter.os_filter_matmul(
+                        osf, x, jnp.asarray(self.os_W))
             else:
                 osf, y, spectrum = osfilter.os_filter(
                     osf, x, jnp.asarray(self.mask), return_spectrum=True)
