@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from t41x import constants as C
+from t41x.chain import compressor as comp_mod
 from t41x.dsp import eq as eq_mod
 from t41x.dsp import fir, firdesign as fd
 
@@ -64,6 +65,7 @@ class SSBState(NamedTuple):
     int1_q: jnp.ndarray    # interpolator histories, Q branch
     int2_q: jnp.ndarray
     eq: object
+    comp: object           # mic compressor state (or ())
 
 
 class SSBExciter:
@@ -86,6 +88,10 @@ class SSBExciter:
         self.delay_taps = d
         self.eq = (eq_mod.EQDesign(spec.sample_rate / C.DF)
                    if spec.eq_on else None)
+        # mic compressor at the RF input rate (SetupMyCompressors,
+        # T41_SDR.ino:1105-1113 defaults: -10 dB knee, 5:1)
+        self.comp = (comp_mod.compressor_params(rate=spec.sample_rate)
+                     if spec.compressor_on else None)
 
     def init_state(self, channels: tuple[int, ...] = ()) -> SSBState:
         nt = len(self.hilbert)
@@ -100,10 +106,15 @@ class SSBExciter:
             hilb=fir.fir_state(nt, channels),
             int1_i=i1(), int2_i=i2(), int1_q=i1(), int2_q=i2(),
             eq=(self.eq.init_state(channels) if self.eq else ()),
+            comp=(comp_mod.compressor_state(channels) if self.comp
+                  else ()),
         )
 
     def block(self, params: TxParams, st: SSBState, mic: jnp.ndarray):
         """mic: (..., BLOCK) float32 at 192 kHz.  Returns (state, iq)."""
+        comp_state = st.comp
+        if self.comp:
+            comp_state, mic = comp_mod.compress(self.comp, comp_state, mic)
         dec1, x = fir.fir_decimate(st.dec1, mic, jnp.asarray(self.h1),
                                    C.DF1)
         dec2, x = fir.fir_decimate(st.dec2, x, jnp.asarray(self.h2), C.DF2)
@@ -139,7 +150,8 @@ class SSBExciter:
         gain = (C.DF * TX_SCALE * params.drive)[..., None]
         iq = (i_up + 1j * q_up) * gain
         new_state = SSBState(dec1, dec2, delay_st, hilb_st,
-                             int1_i, int2_i, int1_q, int2_q, eq_state)
+                             int1_i, int2_i, int1_q, int2_q, eq_state,
+                             comp_state)
         return new_state, iq.astype(jnp.complex64)
 
 

@@ -57,7 +57,25 @@ class Radio:
         self._chain = None
 
     def set_fine_tune(self, hz: float) -> None:
-        self.config.nco_freq = float(hz)
+        """NCO fine tune with band-edge recentering (reference
+        `SetNCOFreq` `Tune.cpp:141-172`): when the tuned signal would
+        leave the visible zoomed spectrum, fold the offset into the
+        center frequency and reset the NCO."""
+        cfg = self.config
+        nco = float(hz)
+        zoom = max(cfg.spectrum_zoom, 0)
+        if zoom != 0:
+            edge = 96_000 / (1 << zoom)
+            if (nco + cfg.band.f_hi_cut) >= edge \
+                    or (nco + cfg.band.f_lo_cut) <= -edge:
+                cfg.center_freq = int(cfg.center_freq + nco)
+                cfg.nco_freq = 0.0
+                return
+        elif nco > 142_000 or nco < -43_000:
+            cfg.center_freq = int(cfg.center_freq + nco)
+            cfg.nco_freq = 0.0
+            return
+        cfg.nco_freq = nco
 
     def set_volume(self, vol: int) -> None:
         self.config.audio_volume = int(np.clip(vol, 0, 100))

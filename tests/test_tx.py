@@ -119,3 +119,32 @@ def test_iq_calibration_converges():
     base = measure(1.0, 0.0)
     amp, phase, best = cal.calibrate_iq(measure, steps=10)
     assert best > base + 10.0, (base, best)
+
+
+def test_mic_compressor_limits_loud_audio():
+    n = 8 * C.BLOCK_SIZE
+    t = np.arange(n) / C.SAMPLE_RATE
+    # loud (0 dBFS) and quiet (-30 dBFS) tones
+    loud = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    quiet = (0.0316 * loud).astype(np.float32)
+    ex = tx.SSBExciter(tx.TxSpec(sideband="usb", compressor_on=True))
+    iq_loud = run_exciter(ex, loud)[4 * C.BLOCK_SIZE:]
+    iq_quiet = run_exciter(ex, quiet)[4 * C.BLOCK_SIZE:]
+    ratio_db = 20 * np.log10(np.abs(iq_loud).mean()
+                             / np.abs(iq_quiet).mean())
+    # loud tone sits ~9 dB over the -10 dBFS knee; at 5:1 that is
+    # ~7.2 dB of gain reduction: 30 dB in -> ~23 dB out
+    assert 21.0 < ratio_db < 25.0, ratio_db
+
+
+def test_fine_tune_recentering():
+    from t41x.radio import Radio
+
+    r = Radio()
+    r.config.spectrum_zoom = 1  # visible span +-48 kHz
+    f0 = r.config.center_freq
+    r.set_fine_tune(20_000.0)
+    assert r.config.nco_freq == 20_000.0
+    r.set_fine_tune(46_000.0)  # +FHiCut crosses the 48 kHz edge
+    assert r.config.nco_freq == 0.0
+    assert r.config.center_freq == f0 + 46_000
