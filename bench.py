@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--mode", default="usb")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--interpolate", action="store_true", default=False)
+    ap.add_argument("--pallas", action="store_true", default=False,
+                    help="use the Pallas fused overlap-save kernel")
+    ap.add_argument("--config", default="rx",
+                    choices=["rx", "cw", "nfm", "nr", "beacon",
+                             "channelizer"],
+                    help="BASELINE benchmark configuration")
     args = ap.parse_args()
 
     import jax
@@ -40,10 +46,25 @@ def main() -> None:
     from t41x import constants as C
     from t41x.chain import ChainSpec, RxChain, default_params
 
-    spec = ChainSpec(mode=args.mode, spectrum_taps=False,
-                     use_matmul_osfilter=True,
-                     interpolate_out=args.interpolate)
+    cfg_map = {
+        "rx": dict(mode=args.mode),
+        "cw": dict(mode="cw", spectrum_zoom=2, cw_filter_index=1,
+                   nr_mode=2),
+        "nfm": dict(mode="nfm"),
+        "nr": dict(mode=args.mode, nr_mode=2),
+        "beacon": dict(mode="usb", spectrum_zoom=1),
+        "channelizer": dict(mode="usb"),
+    }
+    spec = ChainSpec(spectrum_taps=False, use_matmul_osfilter=True,
+                     use_pallas=args.pallas,
+                     interpolate_out=args.interpolate,
+                     **cfg_map[args.config])
     chain = RxChain(spec)
+    channelize = args.config == "channelizer"
+    cz = None
+    if channelize:
+        from t41x.mesh.channelizer import Channelizer
+        cz = Channelizer(16)
 
     def build(n_ch: int, n_blocks: int):
         # params passed as jit arguments, not closure constants: the axon
@@ -53,17 +74,26 @@ def main() -> None:
 
         @jax.jit
         def run(blocks, st, params):
-            def step(st, blk):
+            def step(carry, blk):
+                st, cz_st = carry
+                if cz is not None:
+                    # wideband front end: blk (n_ch/16, 16*BLOCK) wide
+                    cz_st, chans = cz.block(cz_st, blk)
+                    blk = chans.reshape(-1, blk.shape[-1] // 16)
                 st, out = chain.block(params, st, blk)
-                return st, jnp.sum(out["audio_24k"] ** 2)
+                return (st, cz_st), jnp.sum(out["audio_24k"] ** 2)
 
-            st, e = jax.lax.scan(step, st, blocks)
+            (st, _), e = jax.lax.scan(
+                step, (st, cz.init_state((n_ch // 16,)) if cz else ()),
+                blocks)
             return st, jnp.sum(e)
 
         rng = np.random.default_rng(0)
+        shape = ((n_blocks, n_ch // 16, 16 * C.BLOCK_SIZE) if cz
+                 else (n_blocks, n_ch, C.BLOCK_SIZE))
         blocks = jnp.asarray(
-            (rng.standard_normal((n_blocks, n_ch, C.BLOCK_SIZE))
-             + 1j * rng.standard_normal((n_blocks, n_ch, C.BLOCK_SIZE))
+            (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)
              ).astype(np.complex64) * 0.1)
         st = chain.init_state((n_ch,))
         return run, blocks, st, params
@@ -84,7 +114,8 @@ def main() -> None:
     if args.channels:
         candidates = [args.channels]
     else:
-        candidates = [256, 1024, 4096, 8192]
+        # two sizes bound worst-case remote-compile time
+        candidates = [1024, 4096]
 
     best_rate, best_ch = 0.0, 0
     for n_ch in candidates:
@@ -99,11 +130,12 @@ def main() -> None:
             best_rate, best_ch = rate, n_ch
 
     print(json.dumps({
-        "metric": "iq_samples_per_sec_per_chip_full_rx_chain",
+        "metric": f"iq_samples_per_sec_per_chip_full_{args.config}_chain",
         "value": round(best_rate, 1),
         "unit": "complex samples/s",
         "vs_baseline": round(best_rate / 192000.0, 2),
-        "config": {"mode": args.mode, "channels": best_ch,
+        "config": {"mode": spec.mode, "bench": args.config,
+                   "pallas": args.pallas, "channels": best_ch,
                    "blocks": args.blocks,
                    "platform": jax.devices()[0].platform,
                    "device": str(jax.devices()[0].device_kind)},
