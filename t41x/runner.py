@@ -1,0 +1,115 @@
+"""Live streaming runner — the `loop()` replacement.
+
+Ties the native block runtime to the compiled chain and the output
+servers: the functional re-expression of the reference's main loop
+(tmr4/T41_SDR `T41_SDR.ino:1000-1338`), which interleaved DSP, display,
+and control on one core.  Here:
+
+  * an acquisition source (hardware frontend, network, or the paced
+    capture streamer) pushes I/Q blocks into a lock-free ring
+    (`t41x.io.runtime`),
+  * the runner pops batches, runs the jitted chain block, meters load
+    (the reference's CPU-load %), and
+  * publishes spectrum/S-meter frames to the control server and feeds
+    decoders (CW envelope, FT8 slots) incrementally.
+
+Control changes (band/mode/tune via the `Radio` API or the CAT server)
+take effect between blocks — staged, never racing the DSP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from t41x import constants as C
+from t41x.io.runtime import BlockRing, LoadMeter
+from t41x.radio import Radio
+
+
+class StreamRunner:
+    def __init__(self, radio: Radio, ring: BlockRing | None = None,
+                 control_server=None, cat_handler=None):
+        self.radio = radio
+        self.ring = ring or BlockRing()
+        self.control = control_server
+        self.cat = cat_handler
+        self.load = LoadMeter()
+        self.blocks_processed = 0
+        self._state = None
+        self._spec_key = None
+        self._cw_keyed: list[bool] = []
+        self._morse = None
+        self._ft8_slots = None
+        self.audio_chunks: list[np.ndarray] = []
+        self.keep_audio = False
+
+    # ------------------------------------------------------------------
+    def _ensure_chain(self):
+        chain = self.radio.chain  # rebuilds on config change
+        key = id(chain)
+        if key != self._spec_key:
+            self._state = chain.init_state(())
+            self._spec_key = key
+            if chain.spec.mode == "cw":
+                from t41x.decode.cw_text import MorseDecoder
+
+                self._morse = MorseDecoder(wpm_hint=self.radio.config.cw_wpm)
+            if chain.spec.mode == "ft8":
+                from t41x.decode.ft8.slots import SlotManager
+
+                self._ft8_slots = SlotManager()
+        return chain
+
+    def step(self) -> dict | None:
+        """Process one block from the ring (None if ring empty)."""
+        import jax.numpy as jnp
+
+        block = self.ring.pop_iq()
+        if block is None:
+            return None
+        chain = self._ensure_chain()
+        params = self.radio.params(())
+        self.load.begin()
+        self._state, out = chain.block(params, self._state,
+                                       jnp.asarray(block))
+        self.load.end()
+        self.blocks_processed += 1
+
+        results = {"load_percent": self.load.percent}
+        if self.keep_audio:
+            self.audio_chunks.append(np.asarray(out["audio_24k"]))
+        if self.control is not None:
+            if "rf_spectrum" in out:
+                self.control.publish_rf_spectrum(
+                    10 * np.log10(np.asarray(out["rf_spectrum"]) + 1e-12))
+            if "smeter_avg" in out:
+                from t41x.dsp.spectrum import smeter_dbm
+
+                dbm = float(smeter_dbm(out["smeter_avg"]))
+                self.control.publish_smeter(dbm)
+                if self.cat is not None:
+                    self.cat.smeter_dbm = dbm
+        if self._morse is not None and "cw_keyed" in out:
+            text = self._morse.feed([bool(out["cw_keyed"])])
+            if text:
+                results["cw_text"] = text
+        if self._ft8_slots is not None:
+            decoded = self._ft8_slots.feed(np.asarray(out["audio_24k"]))
+            if decoded:
+                results["ft8"] = decoded
+        return results
+
+    def drain(self, max_blocks: int | None = None) -> int:
+        """Process everything currently available; returns block count."""
+        n = 0
+        while max_blocks is None or n < max_blocks:
+            if self.step() is None:
+                break
+            n += 1
+        return n
+
+    @property
+    def audio(self) -> np.ndarray:
+        if not self.audio_chunks:
+            return np.zeros(0, np.float32)
+        return np.concatenate(self.audio_chunks)
