@@ -192,6 +192,11 @@ class RxChain:
         self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
                                              spec.sample_rate)
                         if spec.spectrum_zoom >= 1 else None)
+        if spec.use_pallas:
+            from t41x.kernels.decimate_pallas import FusedDecimator
+            self.fused_dec = FusedDecimator(self.h1, self.h2)
+        else:
+            self.fused_dec = None
 
     # ------------------------------------------------------------------
     def init_state(self, channels: tuple[int, ...] = ()) -> RxState:
@@ -277,8 +282,14 @@ class RxChain:
                                    spec.sample_rate)
 
         # --- decimation x4 then x2 --------------------------------------
-        dec1, x = fir.fir_decimate(state.dec1, x, jnp.asarray(self.h1), C.DF1)
-        dec2, x = fir.fir_decimate(state.dec2, x, jnp.asarray(self.h2), C.DF2)
+        if self.fused_dec is not None and x.ndim == 2:
+            (dec1, dec2), x = self.fused_dec.block(
+                (state.dec1, state.dec2), x)
+        else:
+            dec1, x = fir.fir_decimate(state.dec1, x, jnp.asarray(self.h1),
+                                       C.DF1)
+            dec2, x = fir.fir_decimate(state.dec2, x, jnp.asarray(self.h2),
+                                       C.DF2)
         # x: (..., 256) complex at 24 kHz
 
         sam_state = state.sam
