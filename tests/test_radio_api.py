@@ -107,3 +107,21 @@ def test_cli_rx_and_ft8(tmp_path):
     assert rate == 24000
     snr = signals.tone_fit_snr(audio[4096:], [700.0], 24000)
     assert snr > 25.0, snr
+
+
+def test_lo_plan():
+    from t41x.chain import tune
+
+    p = tune.lo_plan(14_200_000, nco_freq=1000.0)
+    assert p.rx_lo_hz == 14_200_000 * 4
+    assert p.capture_offset_hz == 1000.0 - 48_000.0
+    p_cw = tune.lo_plan(7_100_000, cw_mode=True, lsb=True)
+    assert p_cw.tx_lo_hz == 7_100_000 + 750.0
+
+
+def test_package_lazy_exports():
+    import t41x
+
+    assert t41x.Radio is not None
+    assert t41x.RadioConfig is not None
+    assert t41x.ChainSpec is not None
