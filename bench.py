@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--interpolate", action="store_true", default=False)
     ap.add_argument("--pallas", action="store_true", default=False,
                     help="use the Pallas fused overlap-save kernel")
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
     ap.add_argument("--config", default="rx",
                     choices=["rx", "cw", "nfm", "nr", "beacon",
                              "channelizer"],
@@ -102,6 +104,10 @@ def main() -> None:
         run, blocks, st, params = build(n_ch, args.blocks)
         st, e = run(blocks, st, params)  # compile + warm
         jax.block_until_ready(e)
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                st, e = run(blocks, st, params)
+                jax.block_until_ready(e)
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()

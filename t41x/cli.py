@@ -57,7 +57,26 @@ def main(argv=None) -> int:
 
     from t41x.io import wav
 
-    iq, rate = wav.read_iq_wav(args.inp)
+    import numpy as np
+
+    if args.cmd == "ft8":
+        # the reference's WAV test mode plays mono audio recordings
+        # (DEMOD_FT8_WAV, Process.cpp:278-374); accept those directly
+        data, rate = wav.read_wav(args.inp)
+        if data.ndim == 1:
+            if rate != 24000:  # linear-resample to the audio rate
+                t_out = np.arange(int(len(data) * 24000 / rate)) / 24000
+                data = np.interp(t_out, np.arange(len(data)) / rate,
+                                 data).astype(np.float32)
+            from t41x.decode.ft8 import decode as ft8dec
+            for d in ft8dec.decode_audio(data):
+                print(f"{d.freq_hz:7.1f} Hz  score {d.score:6.1f}  {d.text}")
+            if args.config:
+                cfg.save(args.config)
+            return 0
+        iq = (data[:, 0] + 1j * data[:, 1]).astype(np.complex64)
+    else:
+        iq, rate = wav.read_iq_wav(args.inp)
     if getattr(args, "nco", None) is not None:
         radio.set_fine_tune(args.nco)
 

@@ -73,6 +73,9 @@ class RadioConfig:
     spectrum_zoom: int = 1
     rf_gain_all_bands: float = 0.0
     center_freq: int = 14_200_000
+    center_freq_b: int = 7_150_000   # VFO B (split operation, Tune.cpp:251)
+    active_vfo: str = "A"
+    split_on: bool = False
     nco_freq: float = 0.0
     fine_tune_step: int = 50
     cw_wpm: int = 18

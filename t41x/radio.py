@@ -77,6 +77,16 @@ class Radio:
             return
         cfg.nco_freq = nco
 
+    def toggle_vfo(self) -> None:
+        """Swap VFO A/B (reference split-VFO handling, `Tune.cpp:251`)."""
+        cfg = self.config
+        cfg.center_freq, cfg.center_freq_b = (cfg.center_freq_b,
+                                              cfg.center_freq)
+        cfg.active_vfo = "B" if cfg.active_vfo == "A" else "A"
+
+    def set_split(self, on: bool) -> None:
+        self.config.split_on = bool(on)
+
     def set_volume(self, vol: int) -> None:
         self.config.audio_volume = int(np.clip(vol, 0, 100))
 
