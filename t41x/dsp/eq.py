@@ -20,7 +20,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from t41x import constants as C
-from t41x.dsp import iir
 
 NUM_BANDS = 14
 

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 ORDER = 10            # NB_taps (DSP_Fn.cpp:26)
 IMPULSE_LEN = 7       # NB_impulse_samples

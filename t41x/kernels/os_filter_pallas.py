@@ -25,9 +25,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from t41x import constants as C
 
 TILE_C = 256
 

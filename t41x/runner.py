@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from t41x import constants as C
 from t41x.io.runtime import BlockRing, LoadMeter
 from t41x.radio import Radio
 
