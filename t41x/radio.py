@@ -189,3 +189,61 @@ class Radio:
         from t41x.decode import psk31
 
         return psk31.decode_capture(out["iq_baseband"], tone_hz=tone_hz)
+
+    # --- transmit ------------------------------------------------------
+    def transmit_ssb(self, mic: np.ndarray) -> np.ndarray:
+        """Mic audio (192 kHz float) -> SSB I/Q at 192 kHz (the QSE
+        drive signal), using the band sideband and TX corrections."""
+        import jax.numpy as jnp
+
+        from t41x.chain import tx
+
+        cfg = self.config
+        spec = tx.TxSpec(sideband="lsb" if cfg.band.mode == "lsb" else "usb",
+                         eq_on=cfg.xmit_eq_on,
+                         compressor_on=cfg.mic_compression < 0)
+        ex = tx.SSBExciter(spec)
+        params = tx.default_tx_params()._replace(
+            iq_amp=np.float32(cfg.band.iq_amp_correction_tx),
+            iq_phase=np.float32(cfg.band.iq_phase_correction_tx),
+            eq_gains=np.asarray(cfg.equalizer_xmt, np.float32) / 100.0)
+        st = ex.init_state(())
+        outs = []
+        nb = len(mic) // C.BLOCK_SIZE
+        for b in range(nb):
+            st, iq = ex.block(params, st, jnp.asarray(
+                mic[b * C.BLOCK_SIZE:(b + 1) * C.BLOCK_SIZE]))
+            outs.append(np.asarray(iq))
+        return np.concatenate(outs)
+
+    def transmit_cw(self, text: str, wpm: float | None = None) -> np.ndarray:
+        """Keyed CW I/Q at 192 kHz for a text message (keyer state
+        machine -> shaped quadrature sidetone)."""
+        import jax.numpy as jnp
+
+        from t41x.chain import tx
+        from t41x.io import signals
+
+        cfg = self.config
+        wpm = wpm or cfg.cw_wpm
+        ex = tx.CWExciter(tone_hz=cfg.cw_sidetone_hz)
+        env = signals.cw_keying_envelope(
+            signals.text_to_morse_pattern(text), wpm,
+            int((len(text) * 12.0 / wpm + 1.0) * C.SAMPLE_RATE))
+        nb = len(env) // C.BLOCK_SIZE
+        drive = float(tx.cw_power_scale(cfg.cw_power) / 20.0)
+        st = ex.init_state(())
+        outs = []
+        for b in range(nb):
+            key = env[b * C.BLOCK_SIZE:(b + 1) * C.BLOCK_SIZE].mean() > 0.5
+            st, iq = ex.block(st, jnp.asarray(float(key)), drive)
+            outs.append(np.asarray(iq))
+        return np.concatenate(outs)
+
+    def transmit_ft8(self, message: str,
+                     base_freq: float = 1200.0) -> np.ndarray:
+        """FT8 message -> 192 kHz I/Q (GFSK tones as a USB signal)."""
+        from t41x.decode.ft8 import encode
+
+        return encode.synth_iq(message, base_freq=base_freq,
+                               nco=self.config.nco_freq)

@@ -125,3 +125,23 @@ def test_package_lazy_exports():
     assert t41x.Radio is not None
     assert t41x.RadioConfig is not None
     assert t41x.ChainSpec is not None
+
+
+def test_radio_transmit_roundtrips():
+    import t41x
+
+    radio = t41x.Radio()
+    # CW: transmit then decode own signal
+    iq = radio.transmit_cw("CQ", wpm=20) * 0.02
+    # place at RX frequency plan (-fs/4)
+    t = np.arange(len(iq)) / 192000.0
+    iq_rx = (iq * np.exp(-2j * np.pi * 48000.0 * t)
+             ).astype(np.complex64)
+    got = radio.decode_cw(iq_rx)
+    assert got.replace(" ", "") == "CQ", got
+
+    # FT8: transmit then decode own signal
+    radio2 = t41x.Radio()
+    iq = radio2.transmit_ft8("CQ K1ABC FN42", base_freq=1000.0)
+    decoded = radio2.decode_ft8(iq)
+    assert any(d.text == "CQ K1ABC FN42" for d in decoded)
