@@ -16,7 +16,12 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 
-CONFIG_VERSION = 1
+CONFIG_VERSION = 2
+
+# center-tune / fine-tune step tables (reference `ChangeFreqIncrement` /
+# `ChangeFtIncrement` `ButtonProc.cpp:470-508`)
+FREQ_INCREMENTS = (10, 50, 100, 250, 1000, 10_000, 100_000, 1_000_000)
+FT_INCREMENTS = (10, 50, 250, 500)
 
 
 @dataclass
@@ -37,6 +42,7 @@ class BandConfig:
     iq_phase_correction: float = 0.0
     iq_amp_correction_tx: float = 1.0
     iq_phase_correction_tx: float = 0.0
+    noise_floor: int = 0    # spectrum noise-floor offset (currentNoiseFloor)
 
 
 def default_bands() -> list[BandConfig]:
@@ -65,6 +71,7 @@ class RadioConfig:
     """The persisted radio state (reference `config_t`)."""
     version: int = CONFIG_VERSION
     current_band: int = 2           # 20M
+    op_mode: str = "ssb"            # operating mode ssb/cw/data (xmtMode)
     audio_volume: int = 50
     agc_mode: int = 2
     nr_mode: int = 0
@@ -78,6 +85,12 @@ class RadioConfig:
     split_on: bool = False
     nco_freq: float = 0.0
     fine_tune_step: int = 50
+    # center/fine tune increment tables (ButtonProc.cpp:470-508)
+    tune_index: int = 4             # -> FREQ_INCREMENTS[tune_index]
+    ft_index: int = 1               # -> FT_INCREMENTS[ft_index]
+    fine_tune_active: bool = True   # CAT FS / SetFtActive
+    live_noise_floor: bool = False  # CAT NG / liveNoiseFloorFlag
+    transmit_power: float = 20.0    # watts (transmitPowerLevel)
     cw_wpm: int = 18
     cw_sidetone_hz: float = 750.0
     cw_filter_index: int = 5

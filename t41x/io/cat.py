@@ -6,8 +6,14 @@ Re-expression of the reference's WSJT-X CAT interface (tmr4/T41_SDR
 (WSJT-X, flrig, ...).  The reference speaks USB serial; t41x serves TCP
 (and offers `handle_command` directly for in-process/testing use).
 
-Supported commands mirror the reference: AI, BU/BD, FA/FB/FC, FR/FT,
-ID, IF, KS, MD, PS, SM, plus graceful '?;' for the rest.
+Supported commands mirror the reference: AI, BU/BD (with optional step
+count), FA/FB/FC, FI (tune-increment tables), FR/FT (query + VFO
+select), FS (fine-tune on/off), GT (AGC), ID, IF, KS, MD/ME, NF/NG
+(noise floor), OM, PC (TX power), PS, SM, SP (split), TM (clock set),
+TX/RX, plus graceful '?;' for the rest.  The reference also carries a
+Kenwood TS-2000 variant (`WSJTLoopTS2000` `wsjt.cpp:494`) but ships it
+commented out ("WSJT-X had trouble with this"), so TS-890S is the one
+emulated protocol here too.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+import time
 
 from t41x.radio import Radio
 
@@ -35,6 +42,7 @@ class CATHandler:
         self.radio = radio
         self.smeter_dbm = -100.0
         self.tx = False
+        self.clock_offset = 0   # CAT TM; seconds vs host clock
 
     # ------------------------------------------------------------------
     def handle_command(self, cmd: str) -> str:
@@ -62,10 +70,78 @@ class CATHandler:
                 self._set_freq(int(body))
                 return ""
             return f"{head}{cfg.center_freq:011d};"
+        if head == "FI":
+            # FI0n; / FI1n; — center / fine tune increment (wsjt.cpp:266)
+            if len(body) >= 2:
+                which, idx = body[0], int(body[1:])
+                if which == "0":
+                    self.radio.change_freq_increment(idx - cfg.tune_index)
+                else:
+                    self.radio.change_ft_increment(idx - cfg.ft_index)
+            return ""
         if head == "FR":
+            if body:    # select VFO (wsjt.cpp:281)
+                if ("B" if int(body) else "A") != cfg.active_vfo:
+                    self.radio.toggle_vfo()
+                return ""
             return "FR0;"
+        if head == "FS":
+            # fine tune on/off (wsjt.cpp:288 SetFtActive)
+            if body:
+                cfg.fine_tune_active = bool(int(body))
+                return ""
+            return f"FS{int(cfg.fine_tune_active)};"
         if head == "FT":
+            if body:    # select VFO
+                if ("B" if int(body) else "A") != cfg.active_vfo:
+                    self.radio.toggle_vfo()
+                return ""
             return "FT1;"
+        if head == "GT":
+            # AGC mode (wsjt.cpp:315)
+            if body:
+                self.radio.set_agc(int(body))
+                return ""
+            return f"GT{cfg.agc_mode};"
+        if head == "NF":
+            # spectrum noise floor for the current band (wsjt.cpp:369)
+            if body:
+                self.radio.set_noise_floor(int(body))
+                return ""
+            return f"NF{cfg.band.noise_floor:04d};"
+        if head == "NG":
+            # live noise-floor adjust flag (wsjt.cpp:376)
+            if body:
+                cfg.live_noise_floor = bool(int(body))
+                return ""
+            return f"NG{int(cfg.live_noise_floor)};"
+        if head == "OM":
+            # operating demod mode per receiver item (wsjt.cpp:390)
+            if len(body) >= 2:
+                mode = _KENWOOD_TO_MODE.get(int(body[1]))
+                if mode:
+                    self.radio.set_mode(mode)
+                return ""
+            item = body or "0"
+            return f"OM{item}{_MODE_TO_KENWOOD.get(cfg.band.mode, 1)};"
+        if head == "PC":
+            # transmit power (wsjt.cpp:407)
+            if body:
+                self.radio.set_transmit_power(int(body))
+                return ""
+            return f"PC{int(cfg.transmit_power):03d};"
+        if head == "SP":
+            # split VFO (wsjt.cpp:425)
+            if body:
+                self.radio.set_split(bool(int(body)))
+                return ""
+            return f"SP{int(cfg.split_on)};"
+        if head == "TM":
+            # set radio clock from host epoch (wsjt.cpp:434); t41x keeps
+            # an offset instead of mutating the system clock
+            if body:
+                self.clock_offset = int(body) - int(time.time())
+            return ""
         if head == "MD":
             if body:
                 mode = _KENWOOD_TO_MODE.get(int(body[0]))
@@ -80,10 +156,20 @@ class CATHandler:
                     f"00{0:02d}{0 if self.tx else 1}{mode}0000"
                     f"1{0:02d}0;")
         if head in ("BU", "BD"):
-            step = 1 if head == "BU" else -1
+            # optional step count (wsjt.cpp:201-215 BUn;/BDn;)
+            step = int(body) if body else 1
+            if head == "BD":
+                step = -step
             idx = (cfg.current_band + step) % len(cfg.bands)
             self.radio.set_band(idx)
             return f"{head}0{_BAND_TO_KENWOOD.get(cfg.band.name, 2)};"
+        if head == "ME":
+            # operating mode SSB/CW/DATA (wsjt.cpp:362 ChangeMode)
+            if body:
+                cfg.op_mode = {0: "ssb", 1: "cw", 2: "data"}.get(
+                    int(body), "ssb")
+                return ""
+            return f"ME{ {'ssb': 0, 'cw': 1, 'data': 2}[cfg.op_mode] };"
         if head == "KS":
             if body:
                 cfg.cw_wpm = int(body)

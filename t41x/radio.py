@@ -102,6 +102,32 @@ class Radio:
         self.config.spectrum_zoom = int(zoom)
         self._chain = None
 
+    def change_freq_increment(self, steps: int = 1) -> int:
+        """Cycle the center-tune step table (reference
+        `ChangeFreqIncrement` `ButtonProc.cpp:470`); returns the new
+        increment in Hz."""
+        from t41x.config import FREQ_INCREMENTS
+        cfg = self.config
+        cfg.tune_index = (cfg.tune_index + steps) % len(FREQ_INCREMENTS)
+        return FREQ_INCREMENTS[cfg.tune_index]
+
+    def change_ft_increment(self, steps: int = 1) -> int:
+        """Cycle the fine-tune step table (reference `ChangeFtIncrement`
+        `ButtonProc.cpp:494`); returns the new increment in Hz."""
+        from t41x.config import FT_INCREMENTS
+        cfg = self.config
+        cfg.ft_index = (cfg.ft_index + steps) % len(FT_INCREMENTS)
+        cfg.fine_tune_step = FT_INCREMENTS[cfg.ft_index]
+        return cfg.fine_tune_step
+
+    def set_noise_floor(self, value: int) -> None:
+        """Per-band spectrum noise floor (reference CAT NF,
+        `currentNoiseFloor[currentBand]`)."""
+        self.config.band.noise_floor = int(value)
+
+    def set_transmit_power(self, watts: float) -> None:
+        self.config.transmit_power = float(np.clip(watts, 0.0, 20.0))
+
     # --- chain management ---------------------------------------------
     @property
     def chain(self) -> RxChain:

@@ -30,6 +30,74 @@ def test_cat_handler_basics():
     assert h.handle_command("ZZ") == "?;"
 
 
+def test_cat_extended_command_set():
+    """The rest of the reference's WSJTLoop surface (wsjt.cpp:170-463):
+    increments, VFO select, AGC, noise floor, power, split, clock."""
+    radio = Radio()
+    h = cat.CATHandler(radio)
+    cfg = radio.config
+
+    # FI: tune/fine-tune increment tables
+    h.handle_command("FI06")
+    assert cfg.tune_index == 6
+    h.handle_command("FI13")
+    assert cfg.ft_index == 3 and cfg.fine_tune_step == 500
+
+    # FS: fine-tune active flag
+    h.handle_command("FS0")
+    assert cfg.fine_tune_active is False
+    assert h.handle_command("FS") == "FS0;"
+
+    # FR/FT with body: VFO select
+    a_freq = cfg.center_freq
+    h.handle_command("FR1")
+    assert cfg.active_vfo == "B"
+    assert cfg.center_freq == cfg.to_dict()["center_freq"]
+    h.handle_command("FT0")
+    assert cfg.active_vfo == "A" and cfg.center_freq == a_freq
+
+    # GT: AGC
+    h.handle_command("GT3")
+    assert cfg.agc_mode == 3
+    assert h.handle_command("GT") == "GT3;"
+
+    # NF/NG: per-band noise floor
+    h.handle_command("NF0012")
+    assert cfg.band.noise_floor == 12
+    assert h.handle_command("NF") == "NF0012;"
+    h.handle_command("NG1")
+    assert cfg.live_noise_floor is True
+
+    # OM: operating demod mode
+    assert h.handle_command("OM0").startswith("OM0")
+    h.handle_command("OM01")
+    assert cfg.band.mode == "lsb"
+
+    # PC: transmit power
+    h.handle_command("PC015")
+    assert cfg.transmit_power == 15.0
+    assert h.handle_command("PC") == "PC015;"
+
+    # SP: split
+    h.handle_command("SP1")
+    assert cfg.split_on is True
+    assert h.handle_command("SP") == "SP1;"
+
+    # ME: operating mode
+    h.handle_command("ME1")
+    assert cfg.op_mode == "cw"
+    assert h.handle_command("ME") == "ME1;"
+
+    # TM: clock sync stored as an offset
+    h.handle_command("TM00000012345")
+    assert isinstance(h.clock_offset, int)
+
+    # BU with step count wraps the band table
+    start = cfg.current_band
+    h.handle_command("BU2")
+    assert cfg.current_band == (start + 2) % len(cfg.bands)
+
+
 def test_cat_server_over_tcp():
     radio = Radio()
     srv = cat.CATServer(radio)
