@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     rx.add_argument("--fhi", type=float, default=None)
     rx.add_argument("--agc", type=int, default=None)
     rx.add_argument("--nr", type=int, default=None)
+    rx.add_argument("--panadapter", default=None, metavar="PNG",
+                    help="render spectrum+waterfall of the capture")
+    rx.add_argument("--ascii-spectrum", action="store_true",
+                    help="print a terminal spectrum of the capture")
 
     for name in ("ft8", "cw", "psk31"):
         p = sub.add_parser(name, help=f"decode {name} from a capture")
@@ -101,6 +105,23 @@ def main(argv=None) -> int:
         m = radio.metrics
         print(f"processed {m['input_samples']} samples in "
               f"{m['wall_s']:.2f} s ({m['realtime_channels']:.1f}x realtime)")
+        if (args.panadapter or args.ascii_spectrum) \
+                and "rf_spectrum" in out:
+            from t41x.io import display
+            spec_blocks = out["rf_spectrum"]
+            spec_blocks = spec_blocks.reshape(-1, display.SPECTRUM_RES)
+            spec_db = 10.0 * np.log10(np.maximum(spec_blocks, 1e-30))
+            spec_db -= np.median(spec_db[-1])   # noise floor at 0 dB
+            if args.panadapter:
+                img = display.render_panadapter(
+                    spec_db[-1], spec_db[::-1],
+                    f_lo=cfg.band.f_lo_cut, f_hi=cfg.band.f_hi_cut,
+                    span_hz=192_000 / (1 << max(cfg.spectrum_zoom, 0)))
+                display.save_png(args.panadapter, img)
+                print(f"wrote {args.panadapter}: {img.shape[1]}x"
+                      f"{img.shape[0]} panadapter")
+            if args.ascii_spectrum:
+                print(display.ascii_spectrum(spec_db[-1]))
     elif args.cmd == "ft8":
         for d in radio.decode_ft8(iq):
             print(f"{d.freq_hz:7.1f} Hz  score {d.score:6.1f}  {d.text}")
