@@ -45,13 +45,25 @@ class BandConfig:
     noise_floor: int = 0    # spectrum noise-floor offset (currentNoiseFloor)
 
 
-def default_bands() -> list[BandConfig]:
-    """ITU region 2 band table (reference `T41_SDR.ino:145-168`)."""
+# 80M/40M upper band edges per ITU region (reference `T41_SDR.ino:148-162`
+# `#if ITU_REGION` conditionals); regions differ only in those limits.
+_REGION_EDGES = {1: (3_800_000, 7_200_000),
+                 2: (4_000_000, 7_300_000),
+                 3: (3_900_000, 7_200_000)}
+
+
+def default_bands(itu_region: int = 2) -> list[BandConfig]:
+    """Band table for an ITU region (reference `T41_SDR.ino:145-168`).
+
+    The reference fixes the region at compile time
+    (`MyConfigurationFile.h:27-29`); here it's a constructor argument.
+    """
+    hi80, hi40 = _REGION_EDGES.get(itu_region, _REGION_EDGES[2])
     mk = BandConfig
     return [
-        mk("80M", 3_700_000, 3_500_000, 4_000_000, "lsb", -200, -3000,
+        mk("80M", 3_700_000, 3_500_000, hi80, "lsb", -200, -3000,
            gain_correction=-2.0),
-        mk("40M", 7_150_000, 7_000_000, 7_300_000, "lsb", -200, -3000,
+        mk("40M", 7_150_000, 7_000_000, hi40, "lsb", -200, -3000,
            gain_correction=-2.0),
         mk("20M", 14_200_000, 14_000_000, 14_350_000, "usb", 3000, 200,
            gain_correction=2.0),
@@ -109,8 +121,13 @@ class RadioConfig:
     my_call: str = "N0CALL"
     my_grid: str = "AA00aa"
     freq_cal_factor: float = 1.0
+    itu_region: int = 2
     bands: list[BandConfig] = field(default_factory=default_bands)
     favorites: list[int] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.itu_region != 2 and self.bands == default_bands():
+            self.bands = default_bands(self.itu_region)
 
     # ------------------------------------------------------------------
     @property

@@ -136,6 +136,83 @@ def save_png(path: str, img: np.ndarray) -> None:
     Image.fromarray(np.asarray(img, np.uint8), "RGB").save(path)
 
 
+# S-unit color ladder for beacon SNR patches (reference
+# `beaconSNRColor[]` / `GetSNRColor` `Beacon.cpp:280-295`: one color per
+# 6 dB ≈ one S-unit, black → grey → purple → blue → cyan → greens →
+# yellow → orange → red).
+SNR_COLORS = (
+    (0, 0, 0), (140, 140, 140), (160, 40, 200), (40, 60, 255),
+    (0, 220, 220), (0, 130, 0), (0, 255, 0), (255, 255, 0),
+    (255, 140, 0), (255, 0, 0),
+)
+
+
+def snr_color(snr_db: float) -> tuple[int, int, int]:
+    """SNR in dB -> patch color, one step per 6 dB (S-unit)."""
+    if not np.isfinite(snr_db) or snr_db <= 0:
+        return SNR_COLORS[0]
+    return SNR_COLORS[min(int(snr_db // 6), len(SNR_COLORS) - 1)]
+
+
+def render_beacon_map(beacon_report, home_grid: str | None = None,
+                      band_index: int = 0, scale: int = 3) -> np.ndarray:
+    """World-map beacon SNR display (reference `DisplayBeaconsSNR`
+    `Beacon.cpp:297`): an equirectangular canvas with one colored patch
+    per NCDXF beacon, colored by measured SNR on the selected band, plus
+    the operator QTH marker.
+
+    The reference blits a BMP world map from SD; here the map is a
+    graticule canvas (no bundled bitmap), and the observable product —
+    beacon position + SNR color — is identical.  Returns
+    (180*scale, 360*scale, 3) uint8.
+    """
+    from t41x.decode.beacon import BEACONS
+    from t41x.decode.locator import grid_to_latlon
+
+    h, w = 180 * scale, 360 * scale
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., :] = (8, 12, 28)
+    # graticule every 30°
+    for lat in range(-90, 91, 30):
+        img[min(int((90 - lat) * scale), h - 1), :, :] = (30, 36, 60)
+    for lon in range(-180, 181, 30):
+        img[:, min(int((lon + 180) * scale), w - 1), :] = (30, 36, 60)
+
+    def patch(lat, lon, color, r):
+        y = int((90.0 - lat) * scale)
+        x = int((lon + 180.0) * scale)
+        img[max(y - r, 0): y + r + 1, max(x - r, 0): x + r + 1] = color
+
+    snr = np.asarray(beacon_report.snr)
+    for i, (call, grid) in enumerate(BEACONS):
+        lat, lon = grid_to_latlon(grid)
+        patch(lat, lon, snr_color(float(snr[i, band_index])), scale)
+    if home_grid:
+        lat, lon = grid_to_latlon(home_grid)
+        patch(lat, lon, (255, 255, 255), scale + 1)
+    return img
+
+
+def render_smeter(dbm: float, width: int = 360, height: int = 24
+                  ) -> np.ndarray:
+    """S-meter bar (reference `DrawSmeterBar` `Display.cpp:955`):
+    S1..S9 green segment, over-S9 red segment, 6 dB per S-unit,
+    S9 = -73 dBm."""
+    img = np.zeros((height, width, 3), np.uint8)
+    img[..., :] = (12, 12, 20)
+    s9_px = int(width * 0.6)
+    s_units = (dbm + 127.0) / 6.0          # S1 at -121 dBm
+    frac = np.clip(s_units / 9.0, 0.0, 1.0)
+    img[2:-2, : int(frac * s9_px)] = (0, 255, 0)
+    if dbm > -73.0:
+        over = np.clip((dbm + 73.0) / 40.0, 0.0, 1.0)
+        img[2:-2, s9_px: s9_px + int(over * (width - s9_px))] = (255, 0, 0)
+    # S-unit tick marks
+    for s in range(1, 10):
+        img[:, int(s / 9.0 * s9_px) - 1, :] = (80, 80, 100)
+    return img
+
+
 def ascii_spectrum(spectrum_db: np.ndarray, width: int = 80,
                    height: int = 12, floor_db: float = 0.0,
                    ceil_db: float = 60.0) -> str:

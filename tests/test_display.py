@@ -67,6 +67,47 @@ def test_save_png_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_snr_color_ladder():
+    assert display.snr_color(-5) == display.SNR_COLORS[0]
+    assert display.snr_color(0) == display.SNR_COLORS[0]
+    assert display.snr_color(7) == display.SNR_COLORS[1]
+    assert display.snr_color(6 * 6 + 1) == display.SNR_COLORS[6]
+    assert display.snr_color(500) == display.SNR_COLORS[-1]   # clamps red
+
+
+def test_render_beacon_map():
+    from t41x.decode.beacon import BeaconReport
+    import numpy as np
+    rep = BeaconReport()
+    rep.update(0, np.array([40.0, 0, 0, 0, 0]))   # slot 0: 4U1UN on 20M
+    img = display.render_beacon_map(rep, home_grid="FN42", band_index=0,
+                                    scale=2)
+    assert img.shape == (360, 720, 3)
+    # 4U1UN (FN30as ~ 40.8N, -74W) patch is bright green-ish (40 dB)
+    y, x = int((90 - 40.8) * 2), int((-74 + 180) * 2)
+    region = img[y - 4: y + 5, x - 4: x + 5]
+    assert region[..., 1].max() >= 250      # green channel saturated
+    # QTH marker is white
+    from t41x.decode.locator import grid_to_latlon
+    lat, lon = grid_to_latlon("FN42")
+    yq, xq = int((90 - lat) * 2), int((lon + 180) * 2)
+    assert (img[yq, xq] == 255).all()
+
+
+def test_render_smeter():
+    weak = display.render_smeter(-121.0)
+    s9 = display.render_smeter(-73.0)
+    over = display.render_smeter(-33.0)
+    assert weak.shape == (24, 360, 3)
+    # stronger signal lights more green columns
+    def green_cols(img):
+        return int((img[12, :, 1] == 255).sum())
+    assert green_cols(weak) < green_cols(s9)
+    # +40 over S9 lights the red segment
+    assert (over[12, :, 0] == 255).any()
+    assert not (s9[12, :, 0] == 255).any()
+
+
 def test_ascii_spectrum():
     spec = np.zeros(512)
     spec[100:110] = 50.0
