@@ -77,9 +77,13 @@ _jit_pipeline = jax.jit(_device_pipeline, static_argnums=(1, 2))
 
 def decode_audio(audio: np.ndarray, k_candidates: int = 20,
                  bp_iters: int = 25, rate: float = 24000.0,
-                 base_bin_hz: float = waterfall.TONE_SPACING
+                 base_bin_hz: float = waterfall.TONE_SPACING,
+                 hashes: message.CallHashTable | None = None
                  ) -> list[Decoded]:
-    """Demodulated USB audio (15 s slot at 24 kHz) -> decoded messages."""
+    """Demodulated USB audio (15 s slot at 24 kHz) -> decoded messages.
+
+    Pass a `CallHashTable` kept across slots to resolve `<hashed>`
+    calls in type-4 messages."""
     cands, result = _jit_pipeline(jnp.asarray(audio, jnp.float32),
                                   k_candidates, bp_iters)
     from t41x.utils.transfer import fetch
@@ -99,7 +103,7 @@ def decode_audio(audio: np.ndarray, k_candidates: int = 20,
         b = np.asarray(bits[i]).astype(np.uint8)
         if not crc.check_crc(b[:91]):
             continue
-        text = message.unpack77(b[:77])
+        text = message.unpack77(b[:77], hashes)
         if text in seen:
             continue
         seen.add(text)

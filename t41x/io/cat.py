@@ -11,9 +11,10 @@ count), FA/FB/FC, FI (tune-increment tables), FR/FT (query + VFO
 select), FS (fine-tune on/off), GT (AGC), ID, IF, KS, MD/ME, NF/NG
 (noise floor), OM, PC (TX power), PS, SM, SP (split), TM (clock set),
 TX/RX, plus graceful '?;' for the rest.  The reference also carries a
-Kenwood TS-2000 variant (`WSJTLoopTS2000` `wsjt.cpp:494`) but ships it
-commented out ("WSJT-X had trouble with this"), so TS-890S is the one
-emulated protocol here too.
+Kenwood TS-2000 variant (`WSJTLoopTS2000` `wsjt.cpp:494`, shipped
+commented out — "WSJT-X had trouble with this"); t41x provides it as
+`CATHandlerTS2000` (ID019, TS-2000 IF status layout, inverted PS
+convention) selectable via `CATServer(variant="ts2000")`.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ class CATHandler:
     def handle_command(self, cmd: str) -> str:
         """One ';'-stripped command -> response (may be '')."""
         cfg = self.radio.config
-        c = cmd.strip()
+        c = cmd.strip().rstrip(";")
         if not c:
             return ""
         head = c[:2].upper()
@@ -208,12 +209,39 @@ class CATHandler:
         cfg.nco_freq = 0.0
 
 
+class CATHandlerTS2000(CATHandler):
+    """Kenwood TS-2000 emulation (`WSJTLoopTS2000` `wsjt.cpp:494-740`):
+    same command set, but ID019, the TS-2000 `IF` status layout, and the
+    Kenwood-manual PS convention (`PS0;` = on, `wsjt.cpp:697-699`)."""
+
+    def handle_command(self, cmd: str) -> str:
+        cfg = self.radio.config
+        c = cmd.strip().rstrip(";")
+        head = c[:2].upper()
+        body = c[2:]
+        if head == "ID":
+            return "ID019;"  # TS-2000 (wsjt.cpp:629)
+        if head == "PS" and not body:
+            return "PS0;"    # manual has 0=On (wsjt.cpp:698)
+        if head == "IF" and not body:
+            # wsjt.cpp:632-651: freq, step, RIT, RIT/XIT flags, bank,
+            # RX/TX, mode, VFO, scan, split, CTCSS on, tone, shift
+            freq = cfg.center_freq + int(cfg.nco_freq)
+            mode = _MODE_TO_KENWOOD.get(cfg.band.mode, 1)
+            vfo = 1 if cfg.active_vfo == "B" else 0
+            return (f"IF{freq:011d}{5000:04d}{0:+06d}00"
+                    f"0{0:02d}{0 if self.tx else 1}{mode}{vfo}0"
+                    f"{int(cfg.split_on)}0{1:02d}0;")
+        return super().handle_command(cmd)
+
+
 class CATServer:
     """TCP server speaking the CAT protocol (default port 4532-style)."""
 
     def __init__(self, radio: Radio, host: str = "127.0.0.1",
-                 port: int = 0):
-        handler = CATHandler(radio)
+                 port: int = 0, variant: str = "ts890"):
+        handler = (CATHandlerTS2000 if variant == "ts2000"
+                   else CATHandler)(radio)
         self.handler = handler
 
         class _TCP(socketserver.StreamRequestHandler):

@@ -146,3 +146,67 @@ def test_control_server_streams_to_client():
             assert tags[:2] == ["FD", "SM"]
     finally:
         srv.close()
+
+
+def test_cat_ts2000_variant():
+    radio = Radio()
+    h = cat.CATHandlerTS2000(radio)
+    assert h.handle_command("ID;") == "ID019;"
+    assert h.handle_command("PS;") == "PS0;"  # manual: 0 = on
+    # IF status: "IF" + 11 freq + 4 step + 6 RIT + 13 single-char/2-wide
+    resp = h.handle_command("IF;")
+    assert resp.startswith("IF") and resp.endswith(";")
+    assert len(resp) == 2 + 11 + 4 + 6 + 14 + 1
+    # shared commands still work through the base handler
+    h.handle_command("FA00014074000;")
+    assert radio.config.center_freq == 14_074_000
+    srv = cat.CATServer(radio, variant="ts2000")
+    try:
+        assert cat.cat_query(srv.port, "ID;") == "ID019;"
+    finally:
+        srv.close()
+
+
+def test_beacon_frame_roundtrip():
+    colors = np.arange(90) % 10
+    f = control.beacon_frame(2, 7, 30, colors)
+    assert len(f) == 96
+    frames, rest = control.parse_frames(f)
+    assert rest == b"" and frames[0][0] == "BM"
+    band, beacon, volume = frames[0][1][:3]
+    assert (band, beacon, volume) == (2, 7, 30)
+    np.testing.assert_array_equal(
+        np.frombuffer(frames[0][1][3:], np.uint8), colors)
+
+
+def test_beacon_app_server_ds_dp_gating():
+    srv = control.BeaconAppServer()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=5) as c:
+            time.sleep(0.1)
+            # not streaming until DS;
+            srv.publish_beacon(0, 0, 10, np.zeros(90))
+            c.sendall(b"DS;")
+            for _ in range(100):
+                if srv.streaming:
+                    break
+                time.sleep(0.02)
+            assert srv.streaming
+            srv.publish_beacon(1, 2, 30, np.full(90, 4))
+            c.settimeout(2)
+            buf = b""
+            while True:
+                frames, _ = control.parse_frames(buf)
+                if frames:
+                    break
+                buf += c.recv(4096)
+            assert frames[0][0] == "BM" and frames[0][1][0] == 1
+            c.sendall(b"DP;")
+            for _ in range(100):
+                if not srv.streaming:
+                    break
+                time.sleep(0.02)
+            assert not srv.streaming
+    finally:
+        srv.close()

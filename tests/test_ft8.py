@@ -22,6 +22,42 @@ def test_free_text_roundtrip():
     assert message.unpack77(bits) == "TNX BOB 73 GL"
 
 
+def test_telemetry_roundtrip():
+    hexmsg = "123456789ABCDEF012"
+    bits = message.pack77(hexmsg)
+    assert bits.shape == (77,)
+    assert message.unpack77(bits) == hexmsg
+    # 18 hex digits but >71 bits must be rejected by pack_telemetry
+    with pytest.raises(ValueError):
+        message.pack_telemetry("F" * 18)
+
+
+def test_nonstandard_roundtrip_with_hash_table():
+    hashes = message.CallHashTable()
+    hashes.save("W9XYZ")
+    for msg in ["<W9XYZ> PJ4/KA1ABC RR73", "PJ4/KA1ABC <W9XYZ> 73",
+                "<W9XYZ> YW18FIFA"]:
+        bits = message.pack77(msg)
+        assert message.unpack77(bits, hashes) == msg, msg
+    # CQ with a nonstandard call (icq=1)
+    bits = message.pack77("CQ PJ4/KA1ABC")
+    assert message.unpack77(bits) == "CQ PJ4/KA1ABC"
+    # without the hash table, falls back to the reference's <dddd> form
+    bits = message.pack77("<W9XYZ> PJ4/KA1ABC RR73")
+    text = message.unpack77(bits)
+    n12 = message.ihashcall("W9XYZ", 12)
+    assert text == f"<{n12:04d}> PJ4/KA1ABC RR73"
+
+
+def test_hash_table_resolves_type1_hash22():
+    hashes = message.CallHashTable()
+    hashes.save("PJ4/KA1ABC")
+    n22 = message.ihashcall("PJ4/KA1ABC", 22)
+    assert message.unpack28(message.NTOKENS + n22, hashes) \
+        == "<PJ4/KA1ABC>"
+    assert message.unpack28(message.NTOKENS + n22) == f"<{n22:07d}>"
+
+
 def test_crc_roundtrip():
     bits = message.pack77("CQ K1ABC FN42")
     a91 = crc.add_crc(bits)
