@@ -23,6 +23,8 @@ freq_sub selecting a 3.125 Hz half-bin offset.
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -59,7 +61,7 @@ def compute_waterfall(audio: jnp.ndarray, rate: float = C.AUDIO_RATE):
            + jnp.arange(win)[None, :])                # (F, win)
     frames = audio[..., idx]                          # (..., F, win)
     w = jnp.asarray(blackman_ft8(win).astype(np.float32))
-    spec = jnp.fft.rfft(frames * w, n=fft_len, axis=-1)
+    spec = mxu_fft.rfft(frames * w, n=fft_len, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2
     db = 10.0 * jnp.log10(jnp.maximum(power, 1e-12))
 

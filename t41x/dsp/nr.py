@@ -30,6 +30,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -107,7 +109,7 @@ def kim_state(channels: tuple[int, ...] = ()) -> KimState:
 def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
     """One 128-sample hop of the Kim NR."""
     frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
-    spec = jnp.fft.fft(frame * window, axis=-1)
+    spec = mxu_fft.fft(frame * window, axis=-1)
     power = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
 
     X = jnp.concatenate([st.X[..., 1:], power[..., None]], axis=-1)
@@ -134,7 +136,7 @@ def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
     Gs = b * left + omb * Gts + b * right
 
     full_gain = jnp.concatenate([Gs, Gs[..., ::-1]], axis=-1)
-    out = jnp.fft.ifft(spec * full_gain, axis=-1).real
+    out = mxu_fft.ifft(spec * full_gain, axis=-1).real
     audio = out[..., :HOP] + st.last_ifft
     return KimState(hop_samples, out[..., HOP:], X, E, Gts), audio
 
@@ -200,7 +202,7 @@ def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
     snr_prio_min = 10.0 ** (p.snr_prio_min_db / 20.0)
 
     frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
-    spec = jnp.fft.fft(frame * window, axis=-1)
+    spec = mxu_fft.fft(frame * window, axis=-1)
     X = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
 
     initializing = st.frames[..., None] < p.init_frames
@@ -256,7 +258,7 @@ def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
     G = jnp.where(in_band, G_sm, G)
 
     full_gain = jnp.concatenate([G, G[..., ::-1]], axis=-1)
-    out = jnp.fft.ifft(spec * full_gain, axis=-1).real * window
+    out = mxu_fft.ifft(spec * full_gain, axis=-1).real * window
     audio = out[..., :HOP] + st.last_ifft
     # during init, pass audio through untouched
     audio = jnp.where(initializing, hop_samples, audio)

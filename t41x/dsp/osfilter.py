@@ -19,6 +19,8 @@ Two execution paths:
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -43,9 +45,9 @@ def os_filter(state: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,
     `Process.cpp:550-570`).
     """
     xw = jnp.concatenate([state, x], axis=-1)
-    X = jnp.fft.fft(xw, axis=-1)
+    X = mxu_fft.fft(xw, axis=-1)
     Y = X * mask
-    y = jnp.fft.ifft(Y, axis=-1)[..., xw.shape[-1] // 2:]
+    y = mxu_fft.ifft(Y, axis=-1)[..., xw.shape[-1] // 2:]
     if return_spectrum:
         return x, y.astype(jnp.complex64), jnp.abs(Y) ** 2
     return x, y.astype(jnp.complex64)

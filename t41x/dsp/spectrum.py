@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -46,7 +48,7 @@ def zoom1_spectrum(spec_old: jnp.ndarray, iq: jnp.ndarray):
     spec_old: (..., 512) EMA state.  Returns (spec_old', power)."""
     w = jnp.asarray(_hann(RES))
     seg = iq[..., :RES] * w
-    spec = jnp.fft.fft(seg, axis=-1)
+    spec = mxu_fft.fft(seg, axis=-1)
     power = _swap_halves(spec.real ** 2 + spec.imag ** 2)
     sm = EMA * power + (1.0 - EMA) * spec_old
     return sm, sm
@@ -102,7 +104,7 @@ class ZoomFFT:
         else:
             ring = jnp.concatenate([st.ring[..., n_new:], x], axis=-1)
         w = jnp.asarray(_hann(RES))
-        spec = jnp.fft.fft(ring * (self.multiplier * w), axis=-1)
+        spec = mxu_fft.fft(ring * (self.multiplier * w), axis=-1)
         power = _swap_halves(spec.real ** 2 + spec.imag ** 2)
         sm = EMA * power + (1.0 - EMA) * st.spec_old
         return ZoomState(iir_st, dec_st, ring, sm), sm

@@ -22,6 +22,8 @@ cancel.  On TPU the branch FIRs are P fused multiply-adds over
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -69,7 +71,7 @@ class Channelizer:
         new_state = xc[..., -L:]
 
         # channel k = sum_p e^{+j2pi kp/K} v_p == K * ifft over phases
-        ch = jnp.fft.ifft(v, axis=-1) * K           # (..., n_out, K)
+        ch = mxu_fft.ifft(v, axis=-1) * K           # (..., n_out, K)
         return new_state, jnp.swapaxes(ch, -1, -2).astype(jnp.complex64)
 
     def channel_center_hz(self, k: int) -> float:
