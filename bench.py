@@ -9,9 +9,25 @@ one receiver at 192_000 complex samples/s on its MCU (BASELINE.md), i.e.
 vs_baseline == number of simultaneous real-time 192 kHz channels this
 chip sustains.
 
+Measurement methodology (round-2 rework; see PARITY.md "Performance"):
+
+* The timed region is ONE device dispatch: `lax.scan` over a block
+  buffer, wrapped in an in-graph `lax.fori_loop` that re-runs the scan
+  `repeats` times with the carried DSP state threaded through — so the
+  wall clock covers `repeats * blocks` blocks of real chain compute
+  while the host dispatches once.
+* `repeats` is auto-scaled until the timed step takes >= --min-ms
+  (default 200 ms), far above the measured dispatch floor, so the
+  number is compute-bound, not launch-latency-bound.
+* A linearity check doubles `repeats` and verifies wall time scales
+  (ratio ~2); the ratio is recorded in the JSON.  A measured dispatch
+  floor (trivial jitted op, same dispatch path) is also recorded.
+* FLOPs come from XLA's own `compiled.cost_analysis()`; achieved
+  flops/s and utilization vs the chip's bf16 peak are recorded.
+
 Runs on whatever JAX platform the environment provides (the driver runs
 it on a real TPU chip).  Usage: python bench.py [--channels N]
-[--blocks N] [--mode usb].
+[--blocks N] [--mode usb] [--config rx|cw|nfm|nr|beacon|channelizer]
 """
 
 from __future__ import annotations
@@ -21,20 +37,37 @@ import json
 import sys
 import time
 
+# bf16 systolic-array peak per chip, flop/s (public figures); used only
+# to contextualize achieved flops — fp32 work tops out well below this.
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=0,
-                    help="0 = auto-search for best throughput")
+                    help="0 = try 1024 and 4096, keep the best")
     ap.add_argument("--blocks", type=int, default=8,
-                    help="blocks per timed step (scan length)")
+                    help="blocks per inner scan (buffer size)")
+    ap.add_argument("--min-ms", type=float, default=200.0,
+                    help="auto-scale in-graph repeats until the timed "
+                         "step takes at least this long")
     ap.add_argument("--mode", default="usb")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--interpolate", action="store_true", default=False)
     ap.add_argument("--pallas", action="store_true", default=False,
-                    help="use the Pallas fused overlap-save kernel")
+                    help="use the Pallas fused kernels")
+    ap.add_argument("--spectrum", action="store_true", default=False,
+                    help="emit audio-spectrum + S-meter taps (production "
+                         "display path)")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--no-linearity", action="store_true", default=False)
     ap.add_argument("--config", default="rx",
                     choices=["rx", "cw", "nfm", "nr", "beacon",
                              "channelizer"],
@@ -57,7 +90,7 @@ def main() -> None:
         "beacon": dict(mode="usb", spectrum_zoom=1),
         "channelizer": dict(mode="usb"),
     }
-    spec = ChainSpec(spectrum_taps=False, use_matmul_osfilter=True,
+    spec = ChainSpec(spectrum_taps=args.spectrum, use_matmul_osfilter=True,
                      use_pallas=args.pallas,
                      interpolate_out=args.interpolate,
                      **cfg_map[args.config])
@@ -68,14 +101,13 @@ def main() -> None:
         from t41x.mesh.channelizer import Channelizer
         cz = Channelizer(16)
 
-    def build(n_ch: int, n_blocks: int):
+    def build(n_ch: int, n_blocks: int, repeats: int):
         # params passed as jit arguments, not closure constants: the axon
         # remote backend cannot device->host copy captured device arrays
         # at lowering time
         params = jax.tree.map(np.asarray, default_params((n_ch,)))
 
-        @jax.jit
-        def run(blocks, st, params):
+        def scan_once(blocks, carry):
             def step(carry, blk):
                 st, cz_st = carry
                 if cz is not None:
@@ -85,10 +117,21 @@ def main() -> None:
                 st, out = chain.block(params, st, blk)
                 return (st, cz_st), jnp.sum(out["audio_24k"] ** 2)
 
-            (st, _), e = jax.lax.scan(
-                step, (st, cz.init_state((n_ch // 16,)) if cz else ()),
-                blocks)
-            return st, jnp.sum(e)
+            carry, e = jax.lax.scan(step, carry, blocks)
+            return carry, jnp.sum(e)
+
+        @jax.jit
+        def run(blocks, st, params):
+            carry0 = (st, cz.init_state((n_ch // 16,)) if cz else ())
+
+            def body(_, acc):
+                carry, e = acc
+                carry, ei = scan_once(blocks, carry)
+                return carry, e + ei
+
+            (st, _), e = jax.lax.fori_loop(
+                0, repeats, body, (carry0, jnp.float32(0.0)))
+            return st, e
 
         rng = np.random.default_rng(0)
         shape = ((n_blocks, n_ch // 16, 16 * C.BLOCK_SIZE) if cz
@@ -100,22 +143,82 @@ def main() -> None:
         st = chain.init_state((n_ch,))
         return run, blocks, st, params
 
-    def measure(n_ch: int) -> float:
-        run, blocks, st, params = build(n_ch, args.blocks)
-        st, e = run(blocks, st, params)  # compile + warm
-        jax.block_until_ready(e)
+    def timed(run, blocks, st, params, reps):
+        # force a device->host fetch of the result scalar inside the
+        # timed region: on remote backends block_until_ready can resolve
+        # before execution completes, but a value fetch cannot
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, e = run(blocks, st, params)
+            float(e)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def dispatch_floor() -> float:
+        f = jax.jit(lambda v: v + 1.0)
+        v = jnp.zeros((), jnp.float32)
+        float(f(v))
+        best = float("inf")
+        for _ in range(10):
+            t0 = time.perf_counter()
+            float(f(v))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_s = dispatch_floor()
+    print(f"# dispatch floor: {floor_s*1e6:.0f} us", file=sys.stderr)
+
+    def measure(n_ch: int) -> dict:
+        # calibrate repeats: time one pass, scale to min_ms
+        run, blocks, st, params = build(n_ch, args.blocks, 1)
+        float(run(blocks, st, params)[1])  # compile + warm (fetch forces exec)
+        t1 = timed(run, blocks, st, params, 2)
+        repeats = max(1, int(np.ceil(args.min_ms / 1e3 / max(t1, 1e-6))))
+        if repeats > 1:
+            run, blocks, st, params = build(n_ch, args.blocks, repeats)
+            float(run(blocks, st, params)[1])
+        t = timed(run, blocks, st, params, args.reps)
+
+        lin_ratio = None
+        if not args.no_linearity and repeats >= 1:
+            run2, b2, st2, p2 = build(n_ch, args.blocks, repeats * 2)
+            float(run2(b2, st2, p2)[1])
+            t2 = timed(run2, b2, st2, p2, max(2, args.reps - 1))
+            lin_ratio = t2 / t
+
+        flops = None
+        try:
+            ca = run.lower(blocks, st, params).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # cost model may be absent on a backend
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
         if args.profile:
             with jax.profiler.trace(args.profile):
-                st, e = run(blocks, st, params)
-                jax.block_until_ready(e)
-        best = float("inf")
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            st, e = run(blocks, st, params)
-            jax.block_until_ready(e)
-            best = min(best, time.perf_counter() - t0)
-        samples = args.blocks * n_ch * C.BLOCK_SIZE
-        return samples / best
+                float(run(blocks, st, params)[1])
+
+        samples = repeats * args.blocks * n_ch * C.BLOCK_SIZE
+        rate = samples / t
+        out = {
+            "rate": rate, "time_s": t, "repeats": repeats,
+            "blocks": args.blocks, "channels": n_ch,
+            "linearity_2x": (round(lin_ratio, 3)
+                             if lin_ratio is not None else None),
+            "dispatch_floor_us": round(floor_s * 1e6, 1),
+        }
+        if flops:
+            out["xla_flops_per_pass"] = flops
+            out["achieved_tflops"] = round(flops / t / 1e12, 3)
+        print(f"# channels={n_ch}: {rate/1e6:.1f} Msamples/s "
+              f"({rate/192000:.0f} real-time channels), "
+              f"t={t*1e3:.1f} ms over {repeats}x{args.blocks} blocks, "
+              f"2x-work time ratio={out['linearity_2x']}, "
+              f"achieved={out.get('achieved_tflops', '?')} Tflop/s",
+              file=sys.stderr)
+        return out
 
     if args.channels:
         candidates = [args.channels]
@@ -123,28 +226,45 @@ def main() -> None:
         # two sizes bound worst-case remote-compile time
         candidates = [1024, 4096]
 
-    best_rate, best_ch = 0.0, 0
+    best = None
     for n_ch in candidates:
         try:
-            rate = measure(n_ch)
+            m = measure(n_ch)
         except Exception as e:  # OOM etc.
             print(f"# channels={n_ch} failed: {e}", file=sys.stderr)
             continue
-        print(f"# channels={n_ch}: {rate/1e6:.1f} Msamples/s "
-              f"({rate/192000:.0f} real-time channels)", file=sys.stderr)
-        if rate > best_rate:
-            best_rate, best_ch = rate, n_ch
+        if best is None or m["rate"] > best["rate"]:
+            best = m
+
+    if best is None:
+        print(json.dumps({"metric": "bench_failed", "value": 0,
+                          "unit": "", "vs_baseline": 0}))
+        return
+
+    dev = jax.devices()[0]
+    peak = _PEAK_FLOPS.get(str(dev.device_kind))
+    cfg = {
+        "mode": spec.mode, "bench": args.config,
+        "pallas": args.pallas, "spectrum_taps": args.spectrum,
+        "channels": best["channels"],
+        "blocks": best["blocks"], "repeats": best["repeats"],
+        "timed_step_ms": round(best["time_s"] * 1e3, 2),
+        "linearity_2x_time_ratio": best["linearity_2x"],
+        "dispatch_floor_us": best["dispatch_floor_us"],
+        "platform": dev.platform, "device": str(dev.device_kind),
+    }
+    if "achieved_tflops" in best:
+        cfg["achieved_tflops"] = best["achieved_tflops"]
+        if peak:
+            cfg["util_vs_bf16_peak"] = round(
+                best["achieved_tflops"] * 1e12 / peak, 4)
 
     print(json.dumps({
         "metric": f"iq_samples_per_sec_per_chip_full_{args.config}_chain",
-        "value": round(best_rate, 1),
+        "value": round(best["rate"], 1),
         "unit": "complex samples/s",
-        "vs_baseline": round(best_rate / 192000.0, 2),
-        "config": {"mode": spec.mode, "bench": args.config,
-                   "pallas": args.pallas, "channels": best_ch,
-                   "blocks": args.blocks,
-                   "platform": jax.devices()[0].platform,
-                   "device": str(jax.devices()[0].device_kind)},
+        "vs_baseline": round(best["rate"] / 192000.0, 2),
+        "config": cfg,
     }))
 
 

@@ -101,8 +101,7 @@ class RxState(NamedTuple):
     dec2: jnp.ndarray        # (..., T2-1) complex
     osf: jnp.ndarray         # (..., F/2) complex overlap-save history
     agc: agc_mod.AGCState
-    am_dc: jnp.ndarray       # (...,) AM one-pole DC carry
-    am_bq: jnp.ndarray       # (..., 1, 2) AM lowpass biquad
+    am_bq: jnp.ndarray       # (..., 2, 2) AM DC-block + lowpass cascade
     sam: sam_mod.SAMState
     nfm_last: jnp.ndarray    # (...,) complex
     int1: jnp.ndarray        # (..., T/2-1) interpolation histories (real)
@@ -148,18 +147,25 @@ class RxChain:
                                 spec.sample_rate / C.DF, spec.fft_length)
         self.mask = mask.astype(np.complex64)
         self.os_W = osfilter.os_matmul_operator(mask)
+        self.os_F, self.os_W2, self.os_mask_sq = \
+            osfilter.os_spectrum_operators(mask)
 
-        # DC-block biquad at RF rate (Process.cpp:127)
+        # DC-block biquad at RF rate (Process.cpp:127), applied chunk-
+        # parallel: 16 MXU matmuls per block instead of a 2048-step scan
         b, a = fd.dc_block_biquad()
         self.dc_b = np.asarray([b], np.float32)
         self.dc_a = np.asarray([a], np.float32)
+        self.dc_op = iir.BiquadChunked(self.dc_b, self.dc_a, chunk=128)
 
         # AM audio lowpass — SetIIRCoeffs(FHiCut, 1.3, fs/DF)
-        # (T41_SDR.ino:563)
+        # (T41_SDR.ino:563) — fused with the one-pole DC removal into one
+        # chunk-parallel 2-stage cascade
         bb, aa = fd.biquad_rbj(abs(spec.f_hi), 1.3, spec.sample_rate / C.DF,
                                "lowpass")
         self.am_b = np.asarray([bb], np.float32)
         self.am_a = np.asarray([aa], np.float32)
+        self.am_op = iir.BiquadChunked(*am_mod.am_post_cascade(bb, aa),
+                                       chunk=64)
 
         self.agc_params = agc_mod.agc_params(spec.agc_mode,
                                              spec.agc_thresh_db,
@@ -187,6 +193,8 @@ class RxChain:
                               fs=spec.sample_rate / C.DF, output="sos")
             self.cw_lp_b = sos[:, :3].astype(np.float32)
             self.cw_lp_a = sos[:, 3:].astype(np.float32)
+            self.cw_lp_op = iir.BiquadChunked(self.cw_lp_b, self.cw_lp_a,
+                                              chunk=64)
         else:
             self.cw_lp_b = None
         self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
@@ -209,8 +217,7 @@ class RxChain:
             dec2=fir.fir_state(len(self.h2), channels, np.complex64),
             osf=osfilter.os_state(channels, self.spec.fft_length),
             agc=agc_mod.agc_state(self.agc_params, channels),
-            am_dc=np.zeros(channels, np.float32),
-            am_bq=iir.biquad_state(channels),
+            am_bq=iir.biquad_state(channels, stages=2),
             sam=sam_mod.sam_state(channels),
             nfm_last=np.zeros(channels, np.complex64),
             int1=np.zeros(channels + (len(self.hi1) // C.DF2 - 1,),
@@ -249,9 +256,7 @@ class RxChain:
         x = iq * g[..., None]
 
         xi = jnp.stack([x.real, x.imag], axis=-2)        # (..., 2, N)
-        dc_bq, xi = iir.biquad_apply(state.dc_bq, xi,
-                                     jnp.asarray(self.dc_b),
-                                     jnp.asarray(self.dc_a))
+        dc_bq, xi = self.dc_op.apply(state.dc_bq, xi)
         i_part, q_part = xi[..., 0, :], xi[..., 1, :]
 
         # manual IQ amplitude + phase correction (Process.cpp:163-175,
@@ -282,9 +287,15 @@ class RxChain:
                                    spec.sample_rate)
 
         # --- decimation x4 then x2 --------------------------------------
-        if self.fused_dec is not None and x.ndim == 2:
-            (dec1, dec2), x = self.fused_dec.block(
-                (state.dec1, state.dec2), x)
+        if self.fused_dec is not None:
+            lead = x.shape[:-1]
+            (dec1, dec2), xd = self.fused_dec.block(
+                (state.dec1.reshape(-1, state.dec1.shape[-1]),
+                 state.dec2.reshape(-1, state.dec2.shape[-1])),
+                x.reshape(-1, x.shape[-1]))
+            dec1 = dec1.reshape(lead + dec1.shape[-1:])
+            dec2 = dec2.reshape(lead + dec2.shape[-1:])
+            x = xd.reshape(lead + xd.shape[-1:])
         else:
             dec1, x = fir.fir_decimate(state.dec1, x, jnp.asarray(self.h1),
                                        C.DF1)
@@ -293,7 +304,7 @@ class RxChain:
         # x: (..., 256) complex at 24 kHz
 
         sam_state = state.sam
-        am_dc, am_bq = state.am_dc, state.am_bq
+        am_bq = state.am_bq
         nfm_last = state.nfm_last
         agc_state = state.agc
         osf = state.osf
@@ -302,8 +313,15 @@ class RxChain:
         spectrum = None
         if spec.mode in SSB_FAMILY + ("am", "sam"):
             x = x * self.vol_scale
-            if spec.use_matmul_osfilter and not spec.spectrum_taps:
-                if spec.use_pallas:
+            if spec.use_matmul_osfilter:
+                if spec.spectrum_taps:
+                    # split-form operators keep the spectrum tap on the
+                    # MXU (no FFT op in the production display path)
+                    osf, y, spectrum = osfilter.os_filter_matmul_spectrum(
+                        osf, x, jnp.asarray(self.os_F),
+                        jnp.asarray(self.os_W2),
+                        jnp.asarray(self.os_mask_sq))
+                elif spec.use_pallas:
                     from t41x.kernels import os_filter_matmul_pallas
                     osf, y = os_filter_matmul_pallas(
                         osf, x, jnp.asarray(self.os_W))
@@ -317,9 +335,7 @@ class RxChain:
             if spec.mode in SSB_FAMILY:
                 audio = y.real
             elif spec.mode == "am":
-                am_dc, am_bq, audio = am_mod.am_demod(
-                    am_dc, am_bq, y, jnp.asarray(self.am_b),
-                    jnp.asarray(self.am_a))
+                am_bq, audio = am_mod.am_demod(am_bq, y, self.am_op)
             else:  # sam
                 sam_state, audio, carrier = sam_mod.sam_demod(
                     self.sam_params, sam_state, y)
@@ -376,9 +392,7 @@ class RxChain:
             outputs["cw_keyed"] = keyed
             outputs["cw_combined"] = combined
         if self.cw_lp_b is not None:
-            cw_lp_state, audio = iir.biquad_apply(
-                cw_lp_state, audio, jnp.asarray(self.cw_lp_b),
-                jnp.asarray(self.cw_lp_a))
+            cw_lp_state, audio = self.cw_lp_op.apply(cw_lp_state, audio)
 
         outputs["audio_24k"] = audio
 
@@ -396,7 +410,7 @@ class RxChain:
             outputs["audio"] = audio * vol
 
         new_state = RxState(dc_bq, nco_phase, dec1, dec2, osf, agc_state,
-                            am_dc, am_bq, sam_state, nfm_last, int1, int2,
+                            am_bq, sam_state, nfm_last, int1, int2,
                             smeter_avg, nr_state, cw_state, cw_lp_state,
                             notch_state, eq_state, zoom_state)
         return new_state, outputs

@@ -21,14 +21,24 @@ def alpha_beta_mag(i: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return ALPHA * jnp.maximum(ai, aq) + BETA * jnp.minimum(ai, aq)
 
 
-def am_demod(dc_state, bq_state, y: jnp.ndarray, b, a):
+def am_post_cascade(lp_b, lp_a, pole: float = 0.99):
+    """(b, a) for the 2-stage post-detector cascade: the one-pole DC
+    removal (`wold` recurrence, Process.cpp:700-704 — expressed as the
+    equivalent biquad b=[1,-1,0], a=[1,-pole,0]) followed by the audio
+    lowpass.  Feed to `iir.BiquadChunked` for chunk-parallel streaming.
+    """
+    import numpy as np
+    b = np.vstack([[1.0, -1.0, 0.0], np.reshape(lp_b, (3,))])
+    a = np.vstack([[1.0, -pole, 0.0], np.reshape(lp_a, (3,))])
+    return b.astype(np.float32), a.astype(np.float32)
+
+
+def am_demod(bq_state, y: jnp.ndarray, op: "iir.BiquadChunked"):
     """y: (..., N) complex filtered baseband.
 
-    dc_state: (...,) one-pole DC-block carry (`wold`)
-    bq_state: (..., 1, 2) audio lowpass biquad state
-    Returns (dc_state, bq_state, audio).
+    bq_state: (..., 2, 2) post-detector cascade state (DC block + lowpass)
+    Returns (bq_state, audio).
     """
     mag = alpha_beta_mag(y.real, y.imag)
-    dc_state, audio = iir.one_pole_dc_block(dc_state, mag, 0.99)
-    bq_state, audio = iir.biquad_apply(bq_state, audio, b, a)
-    return dc_state, bq_state, audio
+    bq_state, audio = op.apply(bq_state, mag)
+    return bq_state, audio

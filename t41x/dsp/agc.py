@@ -143,34 +143,77 @@ def agc_state(params: AGCParams, channels: tuple[int, ...] = ()) -> AGCState:
     )
 
 
+def _sliding_window_max(a: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Exact sliding-window maximum over the last axis, fully parallel
+    (van Herk / Gil-Werman: chunked prefix+suffix cummax).
+
+    a: (..., L) -> (..., L - width + 1) with out[i] = max(a[..., i:i+width]).
+    """
+    L = a.shape[-1]
+    n_out = L - width + 1
+    n_chunks = -(-L // width)
+    pad = n_chunks * width - L
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.full(a.shape[:-1] + (pad,), -jnp.inf, a.dtype)], axis=-1)
+    ch = a.reshape(a.shape[:-1] + (n_chunks, width))
+    pref = jax.lax.cummax(ch, axis=ch.ndim - 1)
+    suff = jax.lax.cummax(ch, axis=ch.ndim - 1, reverse=True)
+    pref = pref.reshape(a.shape)
+    suff = suff.reshape(a.shape)
+    return jnp.maximum(suff[..., :n_out],
+                       pref[..., width - 1: width - 1 + n_out])
+
+
 def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray):
     """Apply AGC to a complex block.
 
     x: (..., N) complex (I + jQ at audio rate)
     Returns (new_state, y) with y complex and delayed by attack_buffsize
     samples (the look-ahead delay line, like the reference).
+
+    TPU structure: everything that does not depend on the gain recurrence
+    is hoisted out of the sample scan — the look-ahead delay (a slice of
+    [carried ring | block]), the sliding-window peak (parallel chunked
+    cummax), and the final log-domain gain curve.  The scan itself
+    carries only seven per-channel scalars (volts, averages, counters,
+    state), so each sequential step is a handful of vector ops with no
+    ring-buffer traffic.  Semantics are unchanged vs the scalar oracle
+    (`tests/test_agc_oracle.py`).
     """
     if params.mode == 0:
         return st, params.fixed_gain * x
 
     p = params
+    B = p.attack_buffsize
+    N = x.shape[-1]
 
-    def step(s: AGCState, xn):
-        out_sample = s.ring[..., 0]
-        abs_out = s.abs_ring[..., 0]
-        new_abs = jnp.abs(xn)  # pmode=1 sqrt magnitude (DSP_Fn.cpp:516-519)
-        ring = jnp.concatenate(
-            [s.ring[..., 1:], xn[..., None]], axis=-1)
-        abs_ring = jnp.concatenate(
-            [s.abs_ring[..., 1:], new_abs[..., None]], axis=-1)
-        ring_max = jnp.max(abs_ring, axis=-1)
+    # delay line: out_sample[n] = x[n - B]  (negative index -> carried ring)
+    full = jnp.concatenate([st.ring, x], axis=-1)              # (..., B+N)
+    abs_x = jnp.abs(x)  # pmode=1 sqrt magnitude (DSP_Fn.cpp:516-519)
+    abs_full = jnp.concatenate([st.abs_ring, abs_x], axis=-1)  # (..., B+N)
+    delayed = full[..., :N]
+    abs_out = abs_full[..., :N]
+    new_ring = full[..., N:]
+    new_abs_ring = abs_full[..., N:]
 
-        fast_back = p.fast_backmult * abs_out + p.onemfast_backmult * s.fast_backaverage
-        hang_back = p.hang_backmult * abs_out + p.onemhang_backmult * s.hang_backaverage
-        hang_counter = jnp.maximum(s.hang_counter - 1, 0)
+    # ring_max[n] = max(|x[n-B+1 .. n]|): window of width B ending at n,
+    # i.e. sliding max of abs_full starting at offset n+1
+    ring_max = _sliding_window_max(abs_full, B)[..., 1: 1 + N]
 
-        volts, save_volts, state, decay_type = (
-            s.volts, s.save_volts, s.state, s.decay_type)
+    # time-major inputs for the scan
+    rm_t = jnp.moveaxis(ring_max, -1, 0)
+    ao_t = jnp.moveaxis(abs_out, -1, 0)
+
+    def step(s, inp):
+        rm, ao = inp
+        (volts, save_volts, fast_backaverage, hang_backaverage,
+         hang_counter0, decay_type, state) = s
+
+        fast_back = p.fast_backmult * ao + p.onemfast_backmult * fast_backaverage
+        hang_back = p.hang_backmult * ao + p.onemhang_backmult * hang_backaverage
+        hang_counter = jnp.maximum(hang_counter0 - 1, 0)
+        ring_max = rm
         diff = ring_max - volts
         attack = ring_max >= volts
 
@@ -230,14 +273,22 @@ def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray):
         decay_type = jnp.where(attack, decay_type, rel_dt)
 
         volts = jnp.maximum(volts, p.min_volts)
-        mult = (p.out_target - p.slope_constant
-                * jnp.minimum(0.0, jnp.log10(p.inv_max_input * volts))) / volts
-        y = out_sample * mult.astype(out_sample.dtype)
+        ns = (volts, save_volts, fast_back, hang_back, hang_counter,
+              decay_type, state)
+        return ns, volts
 
-        ns = AGCState(ring, abs_ring, volts, save_volts, fast_back,
-                      hang_back, hang_counter, decay_type, state)
-        return ns, y
+    carry0 = (st.volts, st.save_volts, st.fast_backaverage,
+              st.hang_backaverage, st.hang_counter, st.decay_type, st.state)
+    (volts_f, save_volts_f, fast_f, hang_f, hc_f, dt_f, state_f), volts_seq = \
+        jax.lax.scan(step, carry0, (rm_t, ao_t), unroll=8)
+    volts_seq = jnp.moveaxis(volts_seq, 0, -1)        # (..., N)
 
-    xs = jnp.moveaxis(x, -1, 0)
-    new_state, ys = jax.lax.scan(step, st, xs)
-    return new_state, jnp.moveaxis(ys, 0, -1)
+    # log-domain gain curve, vectorized over the whole block
+    mult = (p.out_target - p.slope_constant
+            * jnp.minimum(0.0, jnp.log10(p.inv_max_input * volts_seq))
+            ) / volts_seq
+    y = delayed * mult.astype(delayed.dtype)
+
+    new_state = AGCState(new_ring, new_abs_ring, volts_f, save_volts_f,
+                         fast_f, hang_f, hc_f, dt_f, state_f)
+    return new_state, y

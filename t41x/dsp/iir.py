@@ -58,6 +58,88 @@ def biquad_apply(state: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray,
     return new_state, jnp.moveaxis(y, 0, -1)
 
 
+class BiquadChunked:
+    """Chunk-parallel streaming biquad cascade — exact df2T semantics with
+    the per-sample dependency collapsed to one matmul per chunk.
+
+    The df2T recurrence is the linear state-space system
+        s[n+1] = A s[n] + k x[n],   y[n] = b0 x[n] + s1[n]
+    with constant A = [[-a1, 1], [-a2, 0]], k = [b1 - a1*b0, b2 - a2*b0].
+    Over a chunk of K samples this unrolls in closed form:
+        y      = b0*x + s0 @ R.T + x @ L.T          (R: (K,2), L: (K,K))
+        s_next = s0 @ (A^K).T + x @ G               (G: (K,2))
+    with R[n] = (A^n)[0,:],  L[n,j] = (A^(n-1-j) k)[0] for j<n,
+    G[j] = A^(K-1-j) k — all precomputed in float64 at design time.
+
+    On TPU this turns the reference's per-sample CMSIS biquads
+    (`arm_biquad_cascade_df2T_f32`, e.g. the RF-rate DC block
+    `Process.cpp:127`) from an N-step serial scan into N/K MXU matmuls:
+    the 2048-sample RF block goes from 2048 sequential steps to 16.
+    Matches `biquad_apply` to fp32 rounding (same state layout).
+    """
+
+    def __init__(self, b: np.ndarray, a: np.ndarray, chunk: int = 128):
+        b = np.atleast_2d(np.asarray(b, np.float64))
+        a = np.atleast_2d(np.asarray(a, np.float64))
+        self.stages = b.shape[0]
+        self.chunk = K = int(chunk)
+        self.b0 = b[:, 0].astype(np.float32)
+        Rs, Ls, AKs, Gs = [], [], [], []
+        for s in range(self.stages):
+            a1, a2 = a[s, 1], a[s, 2]
+            b0, b1, b2 = b[s]
+            A = np.array([[-a1, 1.0], [-a2, 0.0]])
+            k = np.array([b1 - a1 * b0, b2 - a2 * b0])
+            # powers A^0..A^K and vectors A^m k
+            P = np.empty((K + 1, 2, 2))
+            P[0] = np.eye(2)
+            for m in range(K):
+                P[m + 1] = A @ P[m]
+            Ak = P[:K] @ k                      # (K, 2): A^m k
+            R = P[:K, 0, :]                     # (K, 2)
+            L = np.zeros((K, K))
+            for n in range(1, K):
+                # L[n, j] = (A^(n-1-j) k)[0], j = 0..n-1
+                L[n, :n] = Ak[: n][::-1, 0]
+            G = Ak[::-1]                        # G[j] = A^(K-1-j) k
+            Rs.append(R)
+            Ls.append(L)
+            AKs.append(P[K])
+            Gs.append(G)
+        self.R = np.stack(Rs).astype(np.float32)    # (S, K, 2)
+        self.L = np.stack(Ls).astype(np.float32)    # (S, K, K)
+        self.AK = np.stack(AKs).astype(np.float32)  # (S, 2, 2)
+        self.G = np.stack(Gs).astype(np.float32)    # (S, K, 2)
+
+    def apply(self, state: jnp.ndarray, x: jnp.ndarray):
+        """state: (..., S, 2) df2T state;  x: (..., N), N % chunk == 0.
+        Returns (new_state, y)."""
+        K = self.chunk
+        N = x.shape[-1]
+        assert N % K == 0, (N, K)
+        n_chunks = N // K
+        lead = x.shape[:-1]
+        new_states = []
+        for s in range(self.stages):
+            xs = jnp.moveaxis(x.reshape(lead + (n_chunks, K)), -2, 0)
+            R = jnp.asarray(self.R[s])
+            L = jnp.asarray(self.L[s])
+            AK = jnp.asarray(self.AK[s])
+            G = jnp.asarray(self.G[s])
+            b0 = self.b0[s]
+
+            def chunk_step(s0, xc, R=R, L=L, AK=AK, G=G, b0=b0):
+                y = b0 * xc + s0 @ R.T + xc @ L.T
+                s_next = s0 @ AK.T + xc @ G
+                return s_next, y
+
+            s_f, ys = jax.lax.scan(chunk_step, state[..., s, :], xs)
+            x = jnp.moveaxis(ys, 0, -2).reshape(lead + (N,))
+            new_states.append(s_f)
+        new_state = jnp.stack(new_states, axis=-2)
+        return new_state, x
+
+
 def biquad_reference(x: np.ndarray, b: np.ndarray, a: np.ndarray) -> np.ndarray:
     """NumPy oracle: cascade of df2T biquads, zero initial state."""
     b = np.atleast_2d(b)

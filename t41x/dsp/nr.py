@@ -314,14 +314,29 @@ def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray):
     """Variable-leak LMS: x (..., N) real audio -> (state, y).
 
     y is the predictor output (NR mode) or prediction error (notch mode).
-    The reference's power-of-two ring is expressed as a shift register:
-    dline[0] is the current sample, dline[delay:delay+taps] the regressor.
+
+    TPU structure: the delay line is NOT carried through the sample scan
+    — its contents are pure delayed input, so the whole block's
+    regressor windows are slices of one precomputed [history | block]
+    buffer (`dynamic_slice` per step).  The scan carries only the
+    adaptive weights and leak state; per-step work is the inherent LMS
+    dot + weight update.  Internally the regressor/weights are kept
+    oldest-first (a fixed reversal of the reference's newest-first ring,
+    invisible to the output since both the prediction dot and the weight
+    update are elementwise-consistent); the carried `dline` field keeps
+    the public newest-first convention.
     """
-    def step(s: XanrState, xn):
-        dline = jnp.concatenate(
-            [xn[..., None], s.dline[..., :-1]], axis=-1)
-        reg = dline[..., p.delay: p.delay + p.taps]
-        y = jnp.sum(s.w * reg, axis=-1)
+    T, D = p.taps, p.delay
+    N = x.shape[-1]
+    # oldest-first history || block: padded[T+D+j] = x[j]
+    padded = jnp.concatenate([st.dline[..., ::-1], x], axis=-1)
+
+    def step(s, inp):
+        w, lidx, ngamma = s
+        xn, n = inp
+        # reg[k] = x[n - D - (T-1) + k]  (oldest-first window of T samples)
+        reg = jax.lax.dynamic_slice_in_dim(padded, n + 1, T, axis=-1)
+        y = jnp.sum(w * reg, axis=-1)
         sigma = jnp.sum(reg * reg, axis=-1)
         inv_sigp = 1.0 / (sigma + 1e-10)
         error = xn - y
@@ -329,24 +344,29 @@ def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray):
         out = error if p.notch else y
 
         nel = jnp.abs(error * (1.0 - p.two_mu * sigma * inv_sigp))
-        nev = jnp.abs(xn - (1.0 - p.two_mu * s.ngamma) * y
+        nev = jnp.abs(xn - (1.0 - p.two_mu * ngamma) * y
                       - p.two_mu * error * sigma * inv_sigp)
         # reference quirk (Noise.cpp:353-358): on nev<nel, lidx+lincr is
         # tried; if it would exceed max it clamps there, OTHERWISE lidx
         # moves by (lincr - ldecr) net, clamped at min
-        over = (s.lidx + p.lincr) > p.lidx_max
+        over = (lidx + p.lincr) > p.lidx_max
         lidx_new = jnp.where(
             over, p.lidx_max,
-            jnp.maximum(s.lidx + p.lincr - p.ldecr, p.lidx_min))
-        lidx = jnp.where(nev < nel, lidx_new, s.lidx)
+            jnp.maximum(lidx + p.lincr - p.ldecr, p.lidx_min))
+        lidx = jnp.where(nev < nel, lidx_new, lidx)
         ngamma = p.gamma * (lidx ** 4) * p.den_mult
 
         c0 = 1.0 - p.two_mu * ngamma
         c1 = p.two_mu * error * inv_sigp
-        w = c0[..., None] * s.w + c1[..., None] * reg
+        w = c0[..., None] * w + c1[..., None] * reg
 
-        return XanrState(dline, w, lidx, ngamma), out
+        return (w, lidx, ngamma), out
 
-    xs = jnp.moveaxis(x, -1, 0)
-    st, ys = jax.lax.scan(step, st, xs)
-    return st, jnp.moveaxis(ys, 0, -1) * (1.0 if p.notch else p.post_gain)
+    xs = (jnp.moveaxis(x, -1, 0), jnp.arange(N, dtype=jnp.int32))
+    # carried weights are oldest-first internally; st.w is stored
+    # newest-first for compatibility with the state layout
+    (w_f, lidx_f, ngamma_f), ys = jax.lax.scan(
+        step, (st.w[..., ::-1], st.lidx, st.ngamma), xs, unroll=4)
+    new_dline = padded[..., -(T + D):][..., ::-1]
+    new_st = XanrState(new_dline, w_f[..., ::-1], lidx_f, ngamma_f)
+    return new_st, jnp.moveaxis(ys, 0, -1) * (1.0 if p.notch else p.post_gain)

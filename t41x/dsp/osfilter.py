@@ -76,3 +76,36 @@ def os_filter_matmul(state: jnp.ndarray, x: jnp.ndarray, W: jnp.ndarray):
     # complex dot; spelled out keeps fp32 accumulation explicit)
     y = xw @ W.T
     return x, y.astype(jnp.complex64)
+
+
+def os_spectrum_operators(mask: np.ndarray):
+    """Split-form operators that keep the audio-spectrum tap on the MXU.
+
+    Returns (F_op, W2, mask_sq):
+      X    = xw @ F_op.T          — the full F-point DFT (one matmul)
+      y    = X @ W2.T             — iFFT(mask * X)[F/2:]
+      spec = |X|^2 * mask_sq      — the post-mask |Y|^2 audio-spectrum tap
+                                    (reference `Process.cpp:550-570`)
+    Matches `os_filter(..., return_spectrum=True)` to fp32 rounding
+    while staying matmul-only (no FFT op).
+    """
+    F = len(mask)
+    dft = np.fft.fft(np.eye(F))
+    idft = np.conj(dft).T / F
+    W2 = idft[F // 2:, :] * mask[None, :]
+    mask_sq = (np.abs(mask.astype(np.complex128)) ** 2).astype(np.float32)
+    return dft.astype(np.complex64), W2.astype(np.complex64), mask_sq
+
+
+def os_filter_matmul_spectrum(state: jnp.ndarray, x: jnp.ndarray,
+                              F_op: jnp.ndarray, W2: jnp.ndarray,
+                              mask_sq: jnp.ndarray):
+    """Overlap-save block + audio-spectrum tap as two complex matmuls.
+
+    Returns (new_state, y, spec) like `os_filter(return_spectrum=True)`.
+    """
+    xw = jnp.concatenate([state, x], axis=-1)
+    X = xw @ F_op.T
+    y = X @ W2.T
+    spec = (X.real ** 2 + X.imag ** 2) * mask_sq
+    return x, y.astype(jnp.complex64), spec

@@ -72,6 +72,9 @@ class ZoomFFT:
         sos = signal.butter(4, f_stop * 0.85, fs=rate, output="sos")
         self.iir_b = sos[:, :3].astype(np.float32)
         self.iir_a = sos[:, 3:].astype(np.float32)
+        # chunk-parallel application at RF rate (16 matmuls, not a
+        # 2048-step scan)
+        self.iir_op = iir.BiquadChunked(self.iir_b, self.iir_a, chunk=128)
         # display scaling multiplier (FFT.cpp:148-151)
         self.multiplier = float(zoom if zoom <= 3 else self.factor)
 
@@ -93,8 +96,7 @@ class ZoomFFT:
         from t41x.dsp import fir
 
         xi = jnp.stack([iq.real, iq.imag], axis=-2)  # (..., 2, N)
-        iir_st, xi = iir.biquad_apply(st.iir, xi, jnp.asarray(self.iir_b),
-                                      jnp.asarray(self.iir_a))
+        iir_st, xi = self.iir_op.apply(st.iir, xi)
         x = (xi[..., 0, :] + 1j * xi[..., 1, :]).astype(jnp.complex64)
         dec_st, x = fir.fir_decimate(st.dec, x, jnp.asarray(self.h),
                                      self.factor)

@@ -25,9 +25,9 @@ def test_am_demod_recovers_envelope():
     mod = tone(400.0, n)
     y = ((1.0 + 0.5 * mod) * np.exp(1j * 0.3)).astype(np.complex64)
     b, a = fd.biquad_rbj(3000.0, 1.3, C.AUDIO_RATE, "lowpass")
-    dc, bq, audio = am.am_demod(jnp.zeros(()), iir.biquad_state(),
-                                jnp.asarray(y), jnp.asarray([b]),
-                                jnp.asarray([a]))
+    op = iir.BiquadChunked(*am.am_post_cascade(b, a), chunk=64)
+    bq, audio = am.am_demod(iir.biquad_state((), stages=2),
+                            jnp.asarray(y), op)
     audio = np.asarray(audio)[1000:]
     assert signals.snr_db(audio, 0.5 * mod[1000:]) > 20
 
