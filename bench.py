@@ -80,6 +80,7 @@ def main() -> None:
 
     from t41x import constants as C
     from t41x.chain import ChainSpec, RxChain, default_params
+    from t41x.utils import creal
 
     cfg_map = {
         "rx": dict(mode=args.mode),
@@ -120,8 +121,7 @@ def main() -> None:
             carry, e = jax.lax.scan(step, carry, blocks)
             return carry, jnp.sum(e)
 
-        @jax.jit
-        def run(blocks, st, params):
+        def run_body(blocks, st, params):
             carry0 = (st, cz.init_state((n_ch // 16,)) if cz else ())
 
             def body(_, acc):
@@ -133,14 +133,23 @@ def main() -> None:
                 0, repeats, body, (carry0, jnp.float32(0.0)))
             return st, e
 
+        # complex-free jit boundary: the axon TPU runtime cannot execute
+        # programs with complex argument/result buffers (t41x.utils.creal)
+        run = creal.cjit(run_body)
+
         rng = np.random.default_rng(0)
         shape = ((n_blocks, n_ch // 16, 16 * C.BLOCK_SIZE) if cz
                  else (n_blocks, n_ch, C.BLOCK_SIZE))
-        blocks = jnp.asarray(
+        blocks = creal.csplit(
             (rng.standard_normal(shape)
              + 1j * rng.standard_normal(shape)
              ).astype(np.complex64) * 0.1)
-        st = chain.init_state((n_ch,))
+        st = creal.csplit(chain.init_state((n_ch,)))
+        # transfer once, outside the timed region: re-uploading the block
+        # buffer each call would make the measurement transfer-bound
+        # (134 MB/call over a remote tunnel dwarfs the compute)
+        blocks, st, params = jax.device_put((blocks, st, params))
+        jax.block_until_ready((blocks, st, params))
         return run, blocks, st, params
 
     def timed(run, blocks, st, params, reps):
@@ -173,8 +182,23 @@ def main() -> None:
         # calibrate repeats: time one pass, scale to min_ms
         run, blocks, st, params = build(n_ch, args.blocks, 1)
         float(run(blocks, st, params)[1])  # compile + warm (fetch forces exec)
+
+        # FLOPs from the repeats=1 program (XLA's cost model counts a
+        # while-loop body once, so scale by the calibrated repeat count)
+        flops1 = None
+        try:
+            ca = run.lower(blocks, st, params).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops1 = float(ca.get("flops", 0.0)) or None
+        except Exception as e:  # cost model may be absent on a backend
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
         t1 = timed(run, blocks, st, params, 2)
-        repeats = max(1, int(np.ceil(args.min_ms / 1e3 / max(t1, 1e-6))))
+        # calibrate against per-repeat COMPUTE time (subtract the remote
+        # dispatch floor), so the timed step is compute-dominated
+        per_rep = max(t1 - floor_s, t1 / 10, 1e-5)
+        repeats = max(1, int(np.ceil(args.min_ms / 1e3 / per_rep)))
         if repeats > 1:
             run, blocks, st, params = build(n_ch, args.blocks, repeats)
             float(run(blocks, st, params)[1])
@@ -187,14 +211,7 @@ def main() -> None:
             t2 = timed(run2, b2, st2, p2, max(2, args.reps - 1))
             lin_ratio = t2 / t
 
-        flops = None
-        try:
-            ca = run.lower(blocks, st, params).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception as e:  # cost model may be absent on a backend
-            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        flops = flops1 * repeats if flops1 else None
 
         if args.profile:
             with jax.profiler.trace(args.profile):
