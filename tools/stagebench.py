@@ -34,12 +34,12 @@ def main() -> None:
     from t41x.utils import creal
 
     variants = {
-        "full(usb,agc,specTaps)": dict(),
+        "full": dict(),
         "agc_off": dict(agc_mode=0),
         "fft_osfilter": dict(use_matmul_osfilter=False),
         "no_spectrum_taps": dict(spectrum_taps=False),
         "no_interp": dict(interpolate_out=False),
-        "front_end_only(psk31)": dict(mode="psk31", interpolate_out=False),
+        "front_end_only": dict(mode="psk31", interpolate_out=False),
         "nr_spectral": dict(nr_mode=2),
         "nr_lms": dict(nr_mode=3),
         "sam": dict(mode="sam"),
@@ -113,7 +113,7 @@ def main() -> None:
             n_blk = repeats * args.blocks
             us_blk = (t - floor_s) / n_blk * 1e6
             rate = n_blk * n_ch * C.BLOCK_SIZE / (t - floor_s)
-            delta = "" if base_us is None else f"  (vs full {us_blk-base_us:+.0f} us)"
+            delta = "" if base_us is None else f"  (vs base {us_blk-base_us:+.0f} us)"
             if base_us is None:
                 base_us = us_blk
             print(f"{name:28s} {us_blk:8.1f} us/block/{n_ch}ch  "
