@@ -331,7 +331,8 @@ class RxChain:
             else:
                 osf, y, spectrum = osfilter.os_filter(
                     osf, x, jnp.asarray(self.mask), return_spectrum=True)
-            agc_state, y = agc_mod.agc_apply(self.agc_params, agc_state, y)
+            agc_state, y = agc_mod.agc_apply(self.agc_params, agc_state, y,
+                                             use_pallas=spec.use_pallas)
             if spec.mode in SSB_FAMILY:
                 audio = y.real
             elif spec.mode == "am":
@@ -347,7 +348,8 @@ class RxChain:
             osf, y, spectrum = osfilter.os_filter(
                 osf, audio.astype(jnp.complex64), jnp.asarray(self.mask),
                 return_spectrum=True)
-            agc_state, y = agc_mod.agc_apply(self.agc_params, agc_state, y)
+            agc_state, y = agc_mod.agc_apply(self.agc_params, agc_state, y,
+                                             use_pallas=spec.use_pallas)
             audio = y.real
         else:  # psk31: decimated I/Q is the product; audio is the real part
             audio = x.real

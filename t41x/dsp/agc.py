@@ -143,6 +143,26 @@ def agc_state(params: AGCParams, channels: tuple[int, ...] = ()) -> AGCState:
     )
 
 
+def _cummax_logshift(ch: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Within-chunk cumulative max over the last axis via log2(width)
+    shifted-max passes.  `lax.cummax` lowers to a sequential/associative
+    scan that costs ~150 us on a (1024, 4, 96) tile on TPU; these are
+    ~7 cheap elementwise maxes of statically-shifted slices instead."""
+    w = ch.shape[-1]
+    s = 1
+    while s < w:
+        if reverse:
+            shifted = jnp.concatenate([ch[..., s:], ch[..., -s:]], axis=-1)
+            shifted = jnp.where(
+                np.arange(w) < w - s, shifted, -np.inf)
+        else:
+            shifted = jnp.concatenate([ch[..., :s], ch[..., :-s]], axis=-1)
+            shifted = jnp.where(np.arange(w) >= s, shifted, -np.inf)
+        ch = jnp.maximum(ch, shifted)
+        s *= 2
+    return ch
+
+
 def _sliding_window_max(a: jnp.ndarray, width: int) -> jnp.ndarray:
     """Exact sliding-window maximum over the last axis, fully parallel
     (van Herk / Gil-Werman: chunked prefix+suffix cummax).
@@ -157,15 +177,88 @@ def _sliding_window_max(a: jnp.ndarray, width: int) -> jnp.ndarray:
         a = jnp.concatenate(
             [a, jnp.full(a.shape[:-1] + (pad,), -jnp.inf, a.dtype)], axis=-1)
     ch = a.reshape(a.shape[:-1] + (n_chunks, width))
-    pref = jax.lax.cummax(ch, axis=ch.ndim - 1)
-    suff = jax.lax.cummax(ch, axis=ch.ndim - 1, reverse=True)
+    pref = _cummax_logshift(ch)
+    suff = _cummax_logshift(ch, reverse=True)
     pref = pref.reshape(a.shape)
     suff = suff.reshape(a.shape)
     return jnp.maximum(suff[..., :n_out],
                        pref[..., width - 1: width - 1 + n_out])
 
 
-def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray):
+def agc_step(p: AGCParams, carry, rm, ao):
+    """One AGC sample update (the 5-state attack/decay/hang machine) on
+    arbitrarily-shaped channel tiles.  Shared by the lax.scan path below
+    and the Pallas kernel (`t41x/kernels/agc_pallas.py`); the scalar
+    oracle test pins its semantics."""
+    (volts, save_volts, fast_backaverage, hang_backaverage,
+     hang_counter0, decay_type, state) = carry
+
+    fast_back = p.fast_backmult * ao + p.onemfast_backmult * fast_backaverage
+    hang_back = p.hang_backmult * ao + p.onemhang_backmult * hang_backaverage
+    hang_counter = jnp.maximum(hang_counter0 - 1, 0)
+    diff = rm - volts
+    attack = rm >= volts
+
+    # --- attack branch (any state -> 0) ---
+    att_volts = volts + diff * p.attack_mult
+    att_save = jnp.where(state >= 2, volts, save_volts)
+
+    # --- release branches per state ---
+    s0_fast = volts > p.pop_ratio * fast_back
+    s0_hang = (p.hang_enable == 1) & (hang_back > p.hang_level)
+    s0_state = jnp.where(s0_fast, 1, jnp.where(s0_hang, 2, 3))
+    s0_volts = jnp.where(
+        s0_fast, volts + diff * p.fast_decay_mult,
+        jnp.where(s0_hang, volts, volts + diff * p.decay_mult))
+    s0_hc = jnp.where(s0_hang & ~s0_fast, p.hang_counter_init, hang_counter)
+    s0_dt = jnp.where(s0_fast, decay_type,
+                      jnp.where(s0_hang, 1, 0)).astype(jnp.int32)
+
+    s1_fast = volts > save_volts
+    s1_hang = hang_counter > 0
+    s1_state = jnp.where(
+        s1_fast, 1, jnp.where(s1_hang, 2,
+                              jnp.where(decay_type == 0, 3, 4)))
+    s1_volts = jnp.where(
+        s1_fast, volts + diff * p.fast_decay_mult,
+        jnp.where(s1_hang, volts,
+                  jnp.where(decay_type == 0,
+                            volts + diff * p.decay_mult,
+                            volts + diff * p.hang_decay_mult)))
+
+    s2_done = hang_counter == 0
+    s2_state = jnp.where(s2_done, 4, 2)
+    s2_volts = jnp.where(s2_done, volts + diff * p.hang_decay_mult, volts)
+
+    s3_volts = volts + diff * p.decay_mult * 0.05
+    s4_volts = volts + diff * p.hang_decay_mult
+
+    # nested wheres rather than jnp.select: identical first-true-wins
+    # semantics, and select's argmax lowering is unsupported in Mosaic
+    is0, is1, is2, is3 = (state == 0), (state == 1), (state == 2), (state == 3)
+    rel_volts = jnp.where(
+        is0, s0_volts, jnp.where(
+            is1, s1_volts, jnp.where(
+                is2, s2_volts, jnp.where(is3, s3_volts, s4_volts))))
+    rel_state = jnp.where(
+        is0, s0_state, jnp.where(
+            is1, s1_state, jnp.where(is2, s2_state, state))).astype(jnp.int32)
+    rel_hc = jnp.where(state == 0, s0_hc, hang_counter).astype(jnp.int32)
+    rel_dt = jnp.where(state == 0, s0_dt, decay_type).astype(jnp.int32)
+
+    volts = jnp.where(attack, att_volts, rel_volts)
+    state = jnp.where(attack, 0, rel_state).astype(jnp.int32)
+    save_volts = jnp.where(attack, att_save, save_volts)
+    hang_counter = jnp.where(attack, hang_counter, rel_hc)
+    decay_type = jnp.where(attack, decay_type, rel_dt)
+
+    volts = jnp.maximum(volts, p.min_volts)
+    return (volts, save_volts, fast_back, hang_back, hang_counter,
+            decay_type, state)
+
+
+def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray,
+              use_pallas: bool = False):
     """Apply AGC to a complex block.
 
     x: (..., N) complex (I + jQ at audio rate)
@@ -205,82 +298,20 @@ def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray):
     rm_t = jnp.moveaxis(ring_max, -1, 0)
     ao_t = jnp.moveaxis(abs_out, -1, 0)
 
-    def step(s, inp):
-        rm, ao = inp
-        (volts, save_volts, fast_backaverage, hang_backaverage,
-         hang_counter0, decay_type, state) = s
-
-        fast_back = p.fast_backmult * ao + p.onemfast_backmult * fast_backaverage
-        hang_back = p.hang_backmult * ao + p.onemhang_backmult * hang_backaverage
-        hang_counter = jnp.maximum(hang_counter0 - 1, 0)
-        ring_max = rm
-        diff = ring_max - volts
-        attack = ring_max >= volts
-
-        # --- attack branch (any state -> 0) ---
-        att_volts = volts + diff * p.attack_mult
-        att_save = jnp.where(state >= 2, volts, save_volts)
-
-        # --- release branches per state ---
-        # state 0
-        s0_fast = volts > p.pop_ratio * fast_back
-        s0_hang = (p.hang_enable == 1) & (hang_back > p.hang_level)
-        s0_state = jnp.where(s0_fast, 1, jnp.where(s0_hang, 2, 3))
-        s0_volts = jnp.where(
-            s0_fast, volts + diff * p.fast_decay_mult,
-            jnp.where(s0_hang, volts, volts + diff * p.decay_mult))
-        s0_hc = jnp.where(s0_hang & ~s0_fast, p.hang_counter_init, hang_counter)
-        s0_dt = jnp.where(s0_fast, decay_type,
-                          jnp.where(s0_hang, 1, 0)).astype(jnp.int32)
-
-        # state 1
-        s1_fast = volts > save_volts
-        s1_hang = hang_counter > 0
-        s1_state = jnp.where(
-            s1_fast, 1, jnp.where(s1_hang, 2,
-                                  jnp.where(decay_type == 0, 3, 4)))
-        s1_volts = jnp.where(
-            s1_fast, volts + diff * p.fast_decay_mult,
-            jnp.where(s1_hang, volts,
-                      jnp.where(decay_type == 0,
-                                volts + diff * p.decay_mult,
-                                volts + diff * p.hang_decay_mult)))
-
-        # state 2
-        s2_done = hang_counter == 0
-        s2_state = jnp.where(s2_done, 4, 2)
-        s2_volts = jnp.where(s2_done, volts + diff * p.hang_decay_mult, volts)
-
-        # state 3
-        s3_volts = volts + diff * p.decay_mult * 0.05
-
-        # state 4
-        s4_volts = volts + diff * p.hang_decay_mult
-
-        rel_volts = jnp.select(
-            [state == 0, state == 1, state == 2, state == 3],
-            [s0_volts, s1_volts, s2_volts, s3_volts], s4_volts)
-        rel_state = jnp.select(
-            [state == 0, state == 1, state == 2],
-            [s0_state, s1_state, s2_state], state).astype(jnp.int32)
-        rel_hc = jnp.where(state == 0, s0_hc, hang_counter).astype(jnp.int32)
-        rel_dt = jnp.where(state == 0, s0_dt, decay_type).astype(jnp.int32)
-
-        volts = jnp.where(attack, att_volts, rel_volts)
-        state = jnp.where(attack, 0, rel_state).astype(jnp.int32)
-        save_volts = jnp.where(attack, att_save, save_volts)
-        hang_counter = jnp.where(attack, hang_counter, rel_hc)
-        decay_type = jnp.where(attack, decay_type, rel_dt)
-
-        volts = jnp.maximum(volts, p.min_volts)
-        ns = (volts, save_volts, fast_back, hang_back, hang_counter,
-              decay_type, state)
-        return ns, volts
-
     carry0 = (st.volts, st.save_volts, st.fast_backaverage,
               st.hang_backaverage, st.hang_counter, st.decay_type, st.state)
-    (volts_f, save_volts_f, fast_f, hang_f, hc_f, dt_f, state_f), volts_seq = \
-        jax.lax.scan(step, carry0, (rm_t, ao_t), unroll=8)
+    if use_pallas:
+        from t41x.kernels.agc_pallas import agc_scan_pallas
+        (volts_f, save_volts_f, fast_f, hang_f, hc_f, dt_f, state_f), \
+            volts_seq = agc_scan_pallas(p, carry0, rm_t, ao_t)
+    else:
+        def step(s, inp):
+            rm, ao = inp
+            ns = agc_step(p, s, rm, ao)
+            return ns, ns[0]
+
+        (volts_f, save_volts_f, fast_f, hang_f, hc_f, dt_f, state_f), \
+            volts_seq = jax.lax.scan(step, carry0, (rm_t, ao_t), unroll=8)
     volts_seq = jnp.moveaxis(volts_seq, 0, -1)        # (..., N)
 
     # log-domain gain curve, vectorized over the whole block

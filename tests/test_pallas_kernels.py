@@ -47,3 +47,37 @@ def test_fused_decimator_matches_reference_path():
         yr.append(np.asarray(yy))
     np.testing.assert_allclose(np.concatenate(ys, 1),
                                np.concatenate(yr, 1), rtol=1e-3, atol=1e-4)
+
+
+def test_agc_pallas_matches_scan_path():
+    import jax
+
+    from t41x.dsp import agc as A
+    from t41x.kernels import agc_pallas
+
+    p = A.agc_params(2)
+    rng = np.random.default_rng(7)
+    ch, n = 5, 256   # deliberately not a whole (8, 128) tile
+    st = jax.tree.map(jnp.asarray, A.agc_state(p, (ch,)))
+    x = (rng.standard_normal((ch, n))
+         + 1j * rng.standard_normal((ch, n))).astype(np.complex64)
+
+    # route the pallas path through the interpreter for CPU testing
+    orig = agc_pallas.agc_scan_pallas
+    agc_pallas.agc_scan_pallas = (
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    try:
+        st_s, y_s = st, None
+        st_p, y_p = st, None
+        for _ in range(3):  # stream several blocks to exercise the carry
+            st_s, y_s = A.agc_apply(p, st_s, jnp.asarray(x))
+            st_p, y_p = A.agc_apply(p, st_p, jnp.asarray(x),
+                                    use_pallas=True)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                                   rtol=1e-6, atol=1e-7)
+        for f in st_s._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+                rtol=1e-6, atol=1e-7, err_msg=f)
+    finally:
+        agc_pallas.agc_scan_pallas = orig
