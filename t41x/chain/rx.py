@@ -200,11 +200,15 @@ class RxChain:
         self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
                                              spec.sample_rate)
                         if spec.spectrum_zoom >= 1 else None)
-        if spec.use_pallas:
-            from t41x.kernels.decimate_pallas import FusedDecimator
-            self.fused_dec = FusedDecimator(self.h1, self.h2)
+        if spec.use_pallas and spec.spectrum_zoom < 0:
+            # whole RF front end (gain/DC/IQ/fs4/NCO/dec x4/dec x2) as one
+            # Pallas kernel; RF spectrum taps need intermediate signals,
+            # so zoomed chains keep the unfused path
+            from t41x.kernels.frontend_pallas import FusedFrontEnd
+            self.fused_fe = FusedFrontEnd(self.h1, self.h2, self.dc_b[0],
+                                          self.dc_a[0], spec.sample_rate)
         else:
-            self.fused_dec = None
+            self.fused_fe = None
 
     # ------------------------------------------------------------------
     def init_state(self, channels: tuple[int, ...] = ()) -> RxState:
@@ -250,6 +254,14 @@ class RxChain:
         spec = self.spec
         outputs = {}
 
+        if self.fused_fe is not None:
+            (dc_bq, nco_phase, dec1, dec2), x = self.fused_fe.block(
+                params, (state.dc_bq, state.nco_phase, state.dec1,
+                         state.dec2), iq)
+            zoom_state = state.zoom
+            return self._post_frontend(params, state, x, outputs, dc_bq,
+                                       nco_phase, dec1, dec2, zoom_state)
+
         # --- front end: RF gain, DC block, IQ correction ----------------
         g = (10.0 ** (params.rf_gain_db / 20.0) * params.band_gain
              ).astype(jnp.float32)
@@ -287,22 +299,19 @@ class RxChain:
                                    spec.sample_rate)
 
         # --- decimation x4 then x2 --------------------------------------
-        if self.fused_dec is not None:
-            lead = x.shape[:-1]
-            (dec1, dec2), xd = self.fused_dec.block(
-                (state.dec1.reshape(-1, state.dec1.shape[-1]),
-                 state.dec2.reshape(-1, state.dec2.shape[-1])),
-                x.reshape(-1, x.shape[-1]))
-            dec1 = dec1.reshape(lead + dec1.shape[-1:])
-            dec2 = dec2.reshape(lead + dec2.shape[-1:])
-            x = xd.reshape(lead + xd.shape[-1:])
-        else:
-            dec1, x = fir.fir_decimate(state.dec1, x, jnp.asarray(self.h1),
-                                       C.DF1)
-            dec2, x = fir.fir_decimate(state.dec2, x, jnp.asarray(self.h2),
-                                       C.DF2)
+        dec1, x = fir.fir_decimate(state.dec1, x, jnp.asarray(self.h1),
+                                   C.DF1)
+        dec2, x = fir.fir_decimate(state.dec2, x, jnp.asarray(self.h2),
+                                   C.DF2)
         # x: (..., 256) complex at 24 kHz
+        return self._post_frontend(params, state, x, outputs, dc_bq,
+                                   nco_phase, dec1, dec2, zoom_state)
 
+    def _post_frontend(self, params, state, x, outputs, dc_bq, nco_phase,
+                       dec1, dec2, zoom_state):
+        """Audio-rate tail of the chain (filter/AGC/demod/NR/interp),
+        shared by the fused-Pallas and plain front ends."""
+        spec = self.spec
         sam_state = state.sam
         am_bq = state.am_bq
         nfm_last = state.nfm_last

@@ -87,7 +87,12 @@ def _call(p, rm, ao, fstates, istates, interpret):
     )(rm, ao, *fstates, *istates)
 
 
-def agc_scan_pallas(params, carry0, rm_t, ao_t, *, interpret: bool = False):
+def _auto_interpret() -> bool:
+    import jax as _jax
+    return _jax.default_backend() == "cpu"
+
+
+def agc_scan_pallas(params, carry0, rm_t, ao_t, *, interpret=None):
     """Drop-in replacement for the AGC gain `lax.scan`.
 
     carry0: 7-tuple of (...,) channel-shaped state arrays (4 float32,
@@ -95,6 +100,8 @@ def agc_scan_pallas(params, carry0, rm_t, ao_t, *, interpret: bool = False):
     time-major ring-max and |out| streams.  Returns
     (final_carry, volts_seq) with volts_seq (N, ...) like lax.scan.
     """
+    if interpret is None:
+        interpret = _auto_interpret()  # Mosaic on TPU, interpreter on CPU
     n = rm_t.shape[0]
     ch_shape = rm_t.shape[1:]
     c = 1

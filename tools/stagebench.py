@@ -44,7 +44,11 @@ def main() -> None:
         "nr_lms": dict(nr_mode=3),
         "sam": dict(mode="sam"),
         "nfm": dict(mode="nfm"),
-        "pallas_dec": dict(use_pallas=True, spectrum_taps=False),
+        "pallas": dict(use_pallas=True),
+        "pallas_nospec": dict(use_pallas=True, spectrum_taps=False),
+        "pallas_agc_off": dict(use_pallas=True, agc_mode=0),
+        "pallas_no_interp": dict(use_pallas=True, interpolate_out=False),
+        "pallas_fe_only": dict(use_pallas=True, mode="psk31", interpolate_out=False),
     }
     if args.variants:
         keep = args.variants.split(",")
