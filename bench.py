@@ -54,15 +54,21 @@ def main() -> None:
                     help="0 = try 1024 and 4096, keep the best")
     ap.add_argument("--blocks", type=int, default=8,
                     help="blocks per inner scan (buffer size)")
-    ap.add_argument("--min-ms", type=float, default=200.0,
+    ap.add_argument("--min-ms", type=float, default=500.0,
                     help="auto-scale in-graph repeats until the timed "
                          "step takes at least this long")
     ap.add_argument("--mode", default="usb")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--interpolate", action="store_true", default=False)
-    ap.add_argument("--pallas", action="store_true", default=False,
-                    help="use the Pallas fused kernels")
-    ap.add_argument("--spectrum", action="store_true", default=False,
+    # Defaults = the PRODUCTION spec (VERDICT r2 item 1b): Pallas fused
+    # front end + AGC kernel, audio-spectrum/S-meter display taps, and
+    # x8 output interpolation — nothing the reference always computes is
+    # omitted from the headline number.
+    ap.add_argument("--interpolate", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True, help="use the Pallas fused kernels")
+    ap.add_argument("--spectrum", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="emit audio-spectrum + S-meter taps (production "
                          "display path)")
     ap.add_argument("--profile", default=None,
@@ -263,6 +269,7 @@ def main() -> None:
     cfg = {
         "mode": spec.mode, "bench": args.config,
         "pallas": args.pallas, "spectrum_taps": args.spectrum,
+        "interpolate_out": args.interpolate,
         "channels": best["channels"],
         "blocks": best["blocks"], "repeats": best["repeats"],
         "timed_step_ms": round(best["time_s"] * 1e3, 2),

@@ -26,8 +26,10 @@ Structure per 128-channel tile (grid over channel tiles):
   streams never leave VMEM.  Phase conventions match
   `t41x.dsp.fir.fir_decimate` (CMSIS newest-sample phase).
 
-Parity: `tests/test_pallas_kernels.py` checks block-exactness against
-the unfused XLA ops, including state carry across blocks.
+Parity: `tests/test_frontend_fused.py` checks the FULL chain fused vs
+plain (multi-block state carry, non-tile channel counts, spectrum-tap
+and no-tap paths, AM/SAM tails, fused<->plain state interchange); the
+kernel auto-selects interpreter mode on CPU so CI exercises this graph.
 """
 
 from __future__ import annotations

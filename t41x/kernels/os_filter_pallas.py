@@ -77,12 +77,14 @@ def _call(sr, si, xr, xi, wr, wi, interpret=False):
 
 
 def os_filter_matmul_pallas(state: jnp.ndarray, x: jnp.ndarray,
-                            W: jnp.ndarray, interpret: bool = False):
+                            W: jnp.ndarray, interpret: bool | None = None):
     """Drop-in for t41x.dsp.osfilter.os_filter_matmul on TPU.
 
     state, x: (C, F/2) complex64;  W: (F/2, F) complex64 from
     os_matmul_operator.  Returns (new_state, y).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if state.ndim == 1:
         st, y = os_filter_matmul_pallas(state[None], x[None], W, interpret)
         return st[0], y[0]
