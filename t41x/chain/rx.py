@@ -271,16 +271,7 @@ class RxChain:
         dc_bq, xi = self.dc_op.apply(state.dc_bq, xi)
         i_part, q_part = xi[..., 0, :], xi[..., 1, :]
 
-        # manual IQ amplitude + phase correction (Process.cpp:163-175,
-        # Utility.cpp:178-187): scale I, then mix factor*Q into I
-        # (positive factor) or factor*I into Q (negative factor)
-        amp = params.iq_amp[..., None]
-        ph = params.iq_phase[..., None]
-        i_c = i_part * amp
-        pos = ph >= 0
-        i_c = jnp.where(pos, i_c + ph * q_part, i_c)
-        q_c = jnp.where(pos, q_part, q_part + ph * i_c)
-        x = (i_c + 1j * q_c).astype(jnp.complex64)
+        x = iq_correction(i_part, q_part, params.iq_amp, params.iq_phase)
 
         # --- RF spectrum taps (display path) -----------------------------
         zoom_state = state.zoom
@@ -466,6 +457,23 @@ class RxChain:
             return jnp.moveaxis(leaf, 0, -1)
 
         return {k: flatten(v) for k, v in outs.items()}
+
+
+def iq_correction(i_part: jnp.ndarray, q_part: jnp.ndarray,
+                  amp: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """Manual IQ amplitude + phase correction (Process.cpp:163-175,
+    Utility.cpp:178-187): scale I, then mix factor*Q into I (positive
+    factor) or factor*I into Q (negative factor).
+
+    i_part/q_part: (..., N);  amp/phase: (...,).  Returns complex64.
+    """
+    amp = amp[..., None]
+    ph = phase[..., None]
+    i_c = i_part * amp
+    pos = ph >= 0
+    i_c = jnp.where(pos, i_c + ph * q_part, i_c)
+    q_c = jnp.where(pos, q_part, q_part + ph * i_c)
+    return (i_c + 1j * q_c).astype(jnp.complex64)
 
 
 def volume_to_amplification(volume: jnp.ndarray) -> jnp.ndarray:

@@ -72,9 +72,11 @@ def shard_local_channels(mesh: Mesh, local_iq: np.ndarray,
 
 
 def fleet_summary(values):
-    """Cross-host reduction of per-channel scalars (e.g. dBm): returns
-    a jitted mean/max/min over the channel axis — one psum over DCN per
-    call."""
+    """Cross-host reduction of per-channel scalars (e.g. dBm): a jitted
+    mean/max/min over the (channel-sharded) global array.  When `values`
+    is sharded over hosts, GSPMD lowers these reductions to one
+    all-reduce across processes per call (exercised by
+    tools/multihost_bench.py); single-process it is a plain reduction."""
     import jax.numpy as jnp
 
     @jax.jit

@@ -54,11 +54,7 @@ def sharded_fir_decimate(x: jnp.ndarray, h: jnp.ndarray, factor: int,
 
     taps = h.shape[0]
     halo = taps - 1
-    if jnp.iscomplexobj(x):
-        hist = left_halo(x, halo, axis_name)
-    else:
-        hist = left_halo(x, halo, axis_name)
-    state = hist  # (…, taps-1) — exactly the fir state layout
+    state = left_halo(x, halo, axis_name)  # (…, taps-1) — the fir state layout
     _, y = fir.fir_decimate(state, x, h, factor)
     return y
 

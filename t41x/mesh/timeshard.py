@@ -1,17 +1,30 @@
-"""Time-sharded front-end execution (JAX).
+"""Time-sharded chain execution (JAX).
 
 Completes the sequence-parallel story (SURVEY.md §7 phase 6): the RX
-chain's LTI front end — Fs/4 shift, NCO mix, x4+x2 decimation,
-overlap-save band-pass — is time-shardable because every carried state
-is a finite filter history, exchanged via one `ppermute` per stage over
-ICI (t41x.mesh.halo).  The nonlinear tail (AGC, PLLs, NR trackers) has
-an unbounded per-sample dependency and stays sequential per shard; for
-offline captures it runs as a fast second pass over the (already small)
-audio-rate output, or with AGC off the front end IS the whole chain.
+chain's LTI front end — RF gain, DC-block biquad, IQ correction, Fs/4
+shift, NCO mix, x4+x2 decimation — is time-shardable because every
+carried state is either a finite filter history, exchanged via one
+`ppermute` per stage over ICI (t41x.mesh.halo), or an affine IIR state,
+composed exactly across shards from one tiny `all_gather` (the DC-block
+biquad: each shard runs zero-state, the per-shard final states compose
+by a linear n_shards-step recurrence, and the zero-input response is
+added back as one rank-2 correction).
 
-`sharded_frontend(chain)` returns a function suitable for `shard_map`
-over a mesh `t` axis: seg -> filtered baseband for that time segment,
-sample-exact with the streamed unsharded chain.
+The nonlinear tail (AGC state machine `DSP_Fn.cpp:479-632`, SAM PLL
+`Demod.cpp:19-23`, NR trackers `Noise.cpp:19-32`) has an unbounded
+per-sample dependency and cannot be halo-sharded; for offline captures
+it runs as a SECOND PASS over the audio-rate output of the sharded
+front end — 8x fewer samples — reusing the streamed chain's own
+post-decimation code path (`RxChain._post_frontend`) verbatim, so the
+two-pass result matches the streamed chain by construction.
+
+Two entry points:
+
+* `run_time_sharded(chain, mesh, iq)` — front-end only (legacy): Fs/4 +
+  NCO + decimate + overlap-save band-pass, phase-coherent across shards.
+* `run_time_sharded_full(chain, mesh, iq, params)` — the FULL chain:
+  sharded front end (192 kHz work split over the `t` axis) + sequential
+  nonlinear tail (24 kHz), same outputs dict as `RxChain.run`.
 """
 
 from __future__ import annotations
@@ -20,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from t41x import constants as C
@@ -66,3 +80,163 @@ def run_time_sharded(chain, mesh: Mesh, iq, axis_name: str = "t",
     sharded = jax.jit(jax.shard_map(
         fn, mesh=mesh, in_specs=P(axis_name), out_specs=P(axis_name)))
     return sharded(iq)
+
+
+# ----------------------------------------------------------------------
+# Full-chain time sharding (sharded LTI front end + sequential tail)
+# ----------------------------------------------------------------------
+
+def _dc_affine_terms(b: np.ndarray, a: np.ndarray, n_seg: int):
+    """Zero-input operators for one df2T biquad stage over an n_seg-sample
+    segment, float64 at trace time:
+
+      R  (n_seg, 2): y_zi[n] = s0 · R[n]   (R[n] = (A^n)[0, :])
+      AN (2, 2):     s_final = s0 @ AN.T + s_zero-state   (AN = A^n_seg)
+
+    with A = [[-a1, 1], [-a2, 0]] (same convention as iir.BiquadChunked).
+    """
+    a1, a2 = float(a[1]), float(a[2])
+    A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float64)
+    lam, V = np.linalg.eig(A)
+    if abs(lam[0] - lam[1]) > 1e-9:
+        Vi = np.linalg.inv(V)
+        pw = lam[None, :] ** np.arange(n_seg + 1)[:, None]     # (n+1, 2)
+        An = np.einsum("ij,nj,jk->nik", V, pw, Vi).real        # (n+1, 2, 2)
+    else:  # defective A: iterate
+        An = np.empty((n_seg + 1, 2, 2))
+        An[0] = np.eye(2)
+        for m in range(n_seg):
+            An[m + 1] = A @ An[m]
+    return (An[:n_seg, 0, :].astype(np.float32),
+            An[n_seg].astype(np.float32))
+
+
+def sharded_frontend_full(chain, params, axis_name: str = "t"):
+    """Per-shard FULL front end for `shard_map` over a `t` mesh axis:
+    RF gain, DC-block biquad (exact via affine state composition), IQ
+    correction, Fs/4 + NCO with globally coherent phase, x4+x2 halo
+    decimation.  seg: (..., N_seg) complex at the RF rate ->
+    (..., N_seg/8) complex at the audio rate, matching the streamed
+    chain's pre-`_post_frontend` signal.
+    """
+    from t41x.chain import rx as rx_mod
+    from t41x.dsp import nco
+
+    spec = chain.spec
+    h1 = jnp.asarray(chain.h1)
+    h2 = jnp.asarray(chain.h2)
+    p = jax.tree.map(np.asarray, params)
+    g_np = (10.0 ** (p.rf_gain_db / 20.0) * p.band_gain).astype(np.float32)
+
+    def fn(seg):
+        n = seg.shape[-1]
+        assert n % (4 * C.DF) == 0, n
+        R, AN = _dc_affine_terms(chain.dc_b[0], chain.dc_a[0], n)
+        idx = jax.lax.axis_index(axis_name)
+        offset = idx * n
+
+        # RF gain (Process.cpp:117-134)
+        x = seg * jnp.asarray(g_np)[..., None]
+
+        # DC-block biquad, exact across shards: zero-state local run +
+        # affine composition of the tiny (2,) per-stage states
+        xi = jnp.stack([x.real, x.imag], axis=-2)          # (..., 2, N)
+        # mark the constant zero state as device-varying so shard_map's
+        # vma typing accepts it as a scan carry alongside varying data
+        zeros_st = jax.lax.pcast(
+            jnp.zeros(xi.shape[:-1] + (1, 2), xi.dtype), (axis_name,),
+            to="varying")
+        st_z, y_z = chain.dc_op.apply(zeros_st, xi)
+        z_all = jax.lax.all_gather(st_z, axis_name)        # (S, ..., 2, 1, 2)
+        AN_j = jnp.asarray(AN)
+
+        def comp(s, z):
+            # emits the init state BEFORE shard j; carries init AFTER it
+            return jnp.matmul(s, AN_j.T) + z, s
+
+        _, inits = jax.lax.scan(comp, jnp.zeros_like(st_z), z_all)
+        s_own = jnp.take(inits, idx, axis=0)               # (..., 2, 1, 2)
+        y = y_z + jnp.einsum("...d,nd->...n", s_own[..., 0, :],
+                             jnp.asarray(R))
+
+        x = rx_mod.iq_correction(y[..., 0, :], y[..., 1, :],
+                                 jnp.asarray(p.iq_amp),
+                                 jnp.asarray(p.iq_phase))
+
+        # Fs/4 with global phase: j^(offset) rotates the local pattern
+        base = jnp.tile(jnp.array([1, 1j, -1, -1j], jnp.complex64), n // 4)
+        rot = jnp.array([1, 1j, -1, -1j], jnp.complex64)[offset % 4]
+        x = x * (base * rot)
+
+        # NCO with the global sample offset folded into the start phase
+        w = nco.nco_phase_inc(jnp.asarray(p.nco_freq, jnp.float32),
+                              spec.sample_rate)
+        phase0 = jnp.mod(w * offset.astype(jnp.float32), 2.0 * jnp.pi)
+        _, x = nco.nco_mix(phase0, x, jnp.asarray(p.nco_freq),
+                           spec.sample_rate)
+
+        x = halo.sharded_fir_decimate(x, h1, C.DF1, axis_name)
+        return halo.sharded_fir_decimate(x, h2, C.DF2, axis_name)
+
+    return fn
+
+
+def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
+                          axis_name: str = "t"):
+    """Run the FULL RX chain over an offline capture, time-sharded.
+
+    Pass 1 (sharded over `t`): the LTI front end — all the 192 kHz-rate
+    work — with ppermute halos for the decimators and exact DC-block
+    state composition.  Pass 2 (sequential scan): the nonlinear tail —
+    overlap-save band-pass, WDSP AGC, demod (incl. the SAM PLL), NR,
+    notch, CW detection, EQ, x8 interpolation — over the 8x-smaller
+    audio-rate stream, running `RxChain._post_frontend` verbatim so the
+    result matches the streamed chain.
+
+    iq: (..., N) complex at the RF rate, N divisible by
+    n_shards * BLOCK_SIZE; leading dims are channels.
+    Returns the same outputs dict as `RxChain.run` (display zoom taps are
+    unavailable: configure `spectrum_zoom=-1`).
+    """
+    from t41x.chain import default_params
+
+    assert chain.spec.spectrum_zoom < 0, \
+        "display zoom taps are front-end-resident; use spectrum_zoom=-1"
+    iq = jnp.asarray(iq)
+    ch = iq.shape[:-1]
+    if params is None:
+        params = default_params(ch)
+    params = jax.tree.map(np.asarray, params)
+    n_t = mesh.shape[axis_name]
+    n = iq.shape[-1]
+    assert n % (n_t * C.BLOCK_SIZE) == 0, (n, n_t)
+
+    fe = sharded_frontend_full(chain, params, axis_name)
+    seg_spec = P(*([None] * len(ch)), axis_name)
+    fe_sh = jax.jit(jax.shard_map(fe, mesh=mesh, in_specs=seg_spec,
+                                  out_specs=seg_spec))
+    x24 = fe_sh(iq)                                 # (..., N/8) audio rate
+
+    blk = C.BLOCK_SIZE // C.DF
+    nb = x24.shape[-1] // blk
+    blocks = jnp.moveaxis(x24.reshape(ch + (nb, blk)), -2, 0)
+
+    def scan_tail(blocks, params):
+        st = chain.init_state(ch)
+
+        def step(st, xb):
+            st, outs = chain._post_frontend(params, st, xb, {}, st.dc_bq,
+                                            st.nco_phase, st.dec1, st.dec2,
+                                            st.zoom)
+            return st, outs
+
+        return jax.lax.scan(step, st, blocks)
+
+    _, outs = jax.jit(scan_tail)(blocks, params)
+
+    def flatten(leaf):
+        if leaf.ndim == len(ch) + 2:
+            return jnp.moveaxis(leaf, 0, -2).reshape(ch + (-1,))
+        return jnp.moveaxis(leaf, 0, -1)
+
+    return {k: flatten(v) for k, v in outs.items()}

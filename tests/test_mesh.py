@@ -120,3 +120,59 @@ def test_time_sharded_frontend_matches_streamed_chain():
     snr = 10 * np.log10(np.mean(ref[256:m] ** 2)
                         / (np.mean(err ** 2) + 1e-30))
     assert snr > 45.0, snr
+
+
+def _snr_db(ref, got, skip=0):
+    ref = np.asarray(ref)[..., skip:]
+    got = np.asarray(got)[..., skip:]
+    err = got - ref
+    return 10 * np.log10(np.sum(ref ** 2) / (np.sum(err ** 2) + 1e-30))
+
+
+def test_time_sharded_full_chain_matches_streamed():
+    """VERDICT r2 item 2: the FULL chain — including the nonlinear tail
+    (WDSP AGC state machine ON, S-meter EMA, x8 interpolation) — run
+    time-sharded over 4 shards matches the streamed chain.  The front
+    end (incl. the DC-block IIR via affine state composition) is
+    sharded; the tail runs as a second pass over the audio-rate
+    stream."""
+    from t41x.mesh import timeshard
+
+    chain = RxChain(ChainSpec(mode="usb", agc_mode=2, spectrum_taps=True,
+                              interpolate_out=True))
+    n = 4 * 2 * C.BLOCK_SIZE
+    iq = (signals.usb_signal([700.0, 1900.0], n, nco=2500.0) * 0.3
+          + signals.awgn(n, 0.01, seed=3))
+    params = default_params((), nco_freq=2500.0)
+    mesh = tmesh(4)
+    got = timeshard.run_time_sharded_full(chain, mesh, np.asarray(iq),
+                                          params)
+    ref = chain.run(np.asarray(iq), params=params)
+    for key in ("audio_24k", "audio"):
+        snr = _snr_db(ref[key], got[key])
+        assert snr > 55.0, (key, snr)
+    np.testing.assert_allclose(np.asarray(got["smeter_avg"]),
+                               np.asarray(ref["smeter_avg"]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_time_sharded_full_chain_sam_and_channels():
+    """Time-sharded full chain with the SAM PLL tail and a channel batch:
+    matches streamed post-lock (the PLL transient is chaotic under fp32
+    perturbations)."""
+    from t41x.mesh import timeshard
+
+    chain = RxChain(ChainSpec(mode="sam", spectrum_taps=False,
+                              interpolate_out=False))
+    n_ch, n = 3, 8 * C.BLOCK_SIZE
+    iq = np.stack([
+        signals.am_signal(400.0 + 150.0 * k, n, nco=1000.0) * 0.3
+        for k in range(n_ch)
+    ]).astype(np.complex64)
+    params = default_params((n_ch,), nco_freq=1000.0)
+    mesh = tmesh(4)
+    got = timeshard.run_time_sharded_full(chain, mesh, iq, params)
+    ref = chain.run(iq, params=params)
+    # skip the PLL lock transient (first 4 audio blocks)
+    snr = _snr_db(ref["audio_24k"][..., 1024:], got["audio_24k"][..., 1024:])
+    assert snr > 40.0, snr
