@@ -74,6 +74,8 @@ def main() -> None:
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--no-linearity", action="store_true", default=False)
+    ap.add_argument("--channelizer-k", type=int, default=16,
+                    help="channelizer bank size K (--config channelizer)")
     ap.add_argument("--config", default="rx",
                     choices=["rx", "cw", "nfm", "nr", "beacon",
                              "channelizer"],
@@ -106,7 +108,7 @@ def main() -> None:
     cz = None
     if channelize:
         from t41x.mesh.channelizer import Channelizer
-        cz = Channelizer(16)
+        cz = Channelizer(args.channelizer_k)
 
     def build(n_ch: int, n_blocks: int, repeats: int):
         # params passed as jit arguments, not closure constants: the axon
@@ -118,9 +120,9 @@ def main() -> None:
             def step(carry, blk):
                 st, cz_st = carry
                 if cz is not None:
-                    # wideband front end: blk (n_ch/16, 16*BLOCK) wide
+                    # wideband front end: blk (n_ch/K, K*BLOCK) wide
                     cz_st, chans = cz.block(cz_st, blk)
-                    blk = chans.reshape(-1, blk.shape[-1] // 16)
+                    blk = chans.reshape(-1, blk.shape[-1] // cz.K)
                 st, out = chain.block(params, st, blk)
                 return (st, cz_st), jnp.sum(out["audio_24k"] ** 2)
 
@@ -128,7 +130,7 @@ def main() -> None:
             return carry, jnp.sum(e)
 
         def run_body(blocks, st, params):
-            carry0 = (st, cz.init_state((n_ch // 16,)) if cz else ())
+            carry0 = (st, cz.init_state((n_ch // cz.K,)) if cz else ())
 
             def body(_, acc):
                 carry, e = acc
@@ -144,7 +146,7 @@ def main() -> None:
         run = creal.cjit(run_body)
 
         rng = np.random.default_rng(0)
-        shape = ((n_blocks, n_ch // 16, 16 * C.BLOCK_SIZE) if cz
+        shape = ((n_blocks, n_ch // cz.K, cz.K * C.BLOCK_SIZE) if cz
                  else (n_blocks, n_ch, C.BLOCK_SIZE))
         blocks = creal.csplit(
             (rng.standard_normal(shape)

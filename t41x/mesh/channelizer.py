@@ -15,15 +15,16 @@ prototype h.  Substituting n = tK+p:
 
 i.e. the commutator feeds the phases in REVERSED order with a
 one-sample stagger — that pairing is what makes the per-branch aliases
-cancel.  On TPU the branch FIRs are P fused multiply-adds over
-(n_out, K) frames and the phase DFT is one batched length-K IFFT.
+cancel.  On TPU the reversal is folded into the coefficients (hp_r) and
+the DFT matrix (E2) so the frame tensor is one zero-copy reshape of the
+raw stream; the branch FIRs are P contiguous-slice multiply-adds over
+(n_out, K) frames and the phase DFT is one (K x K) complex matmul.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
@@ -46,6 +47,15 @@ class Channelizer:
         # polyphase decomposition: hp[p, t] = h[t*K + p]
         self.hp = (h.reshape(taps_per_phase, num_channels).T
                    * num_channels).astype(np.float32)
+        # TPU-friendly layout (see block()): the commutator's reversed
+        # phase order is folded into the coefficients and the DFT matrix
+        # instead of reversing the data — hp_r[i, t] = hp[K-1-i, t] and
+        # E2[k, i] = e^{+j 2pi k (K-1-i) / K}, so the frame tensor is one
+        # zero-copy reshape of the raw stream
+        self.hp_r = self.hp[::-1, :].copy()
+        kk = np.arange(num_channels)
+        self.E2 = np.exp(2j * np.pi * np.outer(
+            kk, num_channels - 1 - kk) / num_channels).astype(np.complex64)
 
     def init_state(self, batch: tuple[int, ...] = ()) -> np.ndarray:
         """(..., P*K - 1) raw-sample history (commutator + FIR tails)."""
@@ -59,19 +69,22 @@ class Channelizer:
         L = P * K - 1
         n_out = x.shape[-1] // K
         xc = jnp.concatenate([state, x], axis=-1)  # xc[j] = x[j - L]
-        hp = jnp.asarray(self.hp)
-
-        v = None
-        for t in range(P):
-            start = L - K + 1 - t * K
-            w = xc[..., start: start + n_out * K]
-            w = w.reshape(x.shape[:-1] + (n_out, K))[..., ::-1]  # u_p[m-t]
-            term = hp[:, t] * w                     # (..., n_out, K)
-            v = term if v is None else v + term
         new_state = xc[..., -L:]
 
-        # channel k = sum_p e^{+j2pi kp/K} v_p == K * ifft over phases
-        ch = mxu_fft.ifft(v, axis=-1) * K           # (..., n_out, K)
+        # frame tensor U[mm, i] = x[(mm - P + 1)K + i - K + 1]: ONE
+        # zero-copy reshape — the commutator reversal lives in hp_r/E2,
+        # so no per-tap strided slice or data reversal is needed (the
+        # original formulation's 12 reversed strided slices dominated
+        # the whole RX chain's cost on chip)
+        nf = n_out + P - 1
+        U = xc[..., : nf * K].reshape(x.shape[:-1] + (nf, K))
+        hp_r = jnp.asarray(self.hp_r)               # (K, P)
+        v = hp_r[:, 0] * U[..., P - 1: P - 1 + n_out, :]
+        for t in range(1, P):
+            v = v + hp_r[:, t] * U[..., P - 1 - t: P - 1 - t + n_out, :]
+
+        # phase DFT as one (K x K) complex matmul: ch_k = sum_i E2[k,i] v'_i
+        ch = jnp.einsum("...mi,ki->...mk", v, jnp.asarray(self.E2))
         return new_state, jnp.swapaxes(ch, -1, -2).astype(jnp.complex64)
 
     def channel_center_hz(self, k: int) -> float:
