@@ -62,3 +62,45 @@ def channel_sharded_run(chain, mesh: Mesh, params, iq, n_blocks: int,
     blocks = jax.device_put(blocks, NamedSharding(mesh, P(None, axis)))
     params = jax.device_put(params, spec_data)
     return run(blocks, params)
+
+
+def channel_sharded_stream(chain, mesh: Mesh, params, iq, state=None,
+                           axis: str = "ch"):
+    """Resumable channel-sharded execution: accepts and returns the carry
+    state, so a stream can be checkpointed and CONTINUED — including on a
+    DIFFERENT device count (elastic recovery, SURVEY.md §5: per-host
+    failure = re-shard channels).  The host-resident state is device_put
+    with THIS mesh's sharding, so a checkpoint taken on an 8-device mesh
+    resumes on 4 (or 1) unchanged.
+
+    iq: (C, n_blocks*BLOCK) complex.  Returns (state, audio_24k).
+    """
+    from t41x import constants as C
+
+    n_ch = iq.shape[0]
+    n_blocks = iq.shape[1] // C.BLOCK_SIZE
+    spec_data = NamedSharding(mesh, P(axis))
+
+    blocks = iq[:, : n_blocks * C.BLOCK_SIZE].reshape(
+        n_ch, n_blocks, C.BLOCK_SIZE)
+    blocks = jnp.moveaxis(blocks, 1, 0)
+
+    if state is None:
+        state = chain.init_state((n_ch,))
+    # every state leaf has a leading channel dim -> shard dim 0 on the
+    # (possibly different-sized) target mesh
+    state = jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), spec_data), state)
+
+    @jax.jit
+    def run(blocks, state, params):
+        def step(st, blk):
+            st, out = chain.block(params, st, blk)
+            return st, out["audio_24k"]
+
+        st, audio = jax.lax.scan(step, state, blocks)
+        return st, jnp.moveaxis(audio, 0, 1).reshape(n_ch, -1)
+
+    blocks = jax.device_put(blocks, NamedSharding(mesh, P(None, axis)))
+    params = jax.device_put(params, spec_data)
+    return run(blocks, state, params)

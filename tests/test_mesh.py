@@ -89,6 +89,51 @@ def test_channel_sharded_chain_matches_unsharded():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_elastic_resume_8_to_4_devices(tmp_path):
+    """Elastic recovery (VERDICT r2 item 9): checkpoint a channel-sharded
+    stream on 8 devices, 'lose' half the fleet, resume on a 4-device
+    mesh — outputs identical to the uninterrupted stream."""
+    from t41x.utils import checkpoint
+
+    chain = RxChain(ChainSpec(mode="usb", spectrum_taps=False,
+                              interpolate_out=False))
+    n_ch, nb1, nb2 = 8, 4, 4
+    n = (nb1 + nb2) * C.BLOCK_SIZE
+    freqs = 600.0 + 150.0 * np.arange(n_ch)
+    iq = np.stack([signals.usb_signal([f], n) * 0.25 for f in freqs]
+                  ).astype(np.complex64)
+    params = default_params((n_ch,))
+
+    mesh8 = sharding.make_mesh(8, "ch")
+    st1, audio1 = sharding.channel_sharded_stream(
+        chain, mesh8, params, iq[:, : nb1 * C.BLOCK_SIZE])
+    path = str(tmp_path / "elastic.npz")
+    checkpoint.save_state(path, jax.device_get(st1),
+                          extra={"blocks_done": nb1})
+
+    # resume on HALF the devices from the host-resident checkpoint
+    mesh4 = sharding.make_mesh(4, "ch")
+    st_resume, meta = checkpoint.load_state(
+        path, template=chain.init_state((n_ch,)))
+    assert meta["blocks_done"] == nb1
+    _, audio2 = sharding.channel_sharded_stream(
+        chain, mesh4, params, iq[:, nb1 * C.BLOCK_SIZE:], state=st_resume)
+
+    joined = np.concatenate([np.asarray(audio1), np.asarray(audio2)],
+                            axis=-1)
+    ref = np.asarray(chain.run(iq, params=params)["audio_24k"])
+    np.testing.assert_allclose(joined, ref, rtol=1e-3, atol=1e-4)
+
+    # the resumed half matches an UNINTERRUPTED 8-device continuation
+    # (the checkpoint loses nothing; re-partitioning shifts fp32
+    # rounding in the last digit only)
+    _, audio2_8dev = sharding.channel_sharded_stream(
+        chain, mesh8, params, iq[:, nb1 * C.BLOCK_SIZE:], state=st1)
+    np.testing.assert_allclose(np.asarray(audio2),
+                               np.asarray(audio2_8dev), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_time_sharded_frontend_matches_streamed_chain():
     """The LTI front end sharded over 4 time shards is sample-exact with
     the streamed (unsharded) chain, including Fs/4 and NCO phase
