@@ -47,6 +47,15 @@ def main(argv=None) -> int:
 
     sub.add_parser("info", help="print configuration")
 
+    op = sub.add_parser("operate",
+                        help="live operator session over a capture stream "
+                             "(tune/band/mode + ASCII panadapter)")
+    op.add_argument("--in", dest="inp", required=True)
+    op.add_argument("--rate-factor", type=float, default=1.0,
+                    help="stream pacing vs real time (0 = flat out)")
+    op.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="also serve the session on this TCP port")
+
     args = ap.parse_args(argv)
 
     from t41x.config import RadioConfig
@@ -62,6 +71,48 @@ def main(argv=None) -> int:
     from t41x.io import wav
 
     import numpy as np
+
+    if args.cmd == "operate":
+        import threading
+        import time
+
+        from t41x.io import repl as repl_mod
+        from t41x.io.runtime import CaptureStreamer
+        from t41x.runner import StreamRunner
+
+        iq, rate = wav.read_iq_wav(args.inp)
+        runner = StreamRunner(radio)
+        runner.prime()
+        streamer = CaptureStreamer(runner.ring, iq,
+                                   rate_factor=args.rate_factor)
+        stop = threading.Event()
+
+        def pump():
+            while not stop.is_set():
+                if runner.step() is None:
+                    time.sleep(0.002)
+
+        pump_thread = threading.Thread(target=pump)
+        pump_thread.start()
+        # let the first blocks land so spectrum/status have data
+        t0 = time.monotonic()
+        while runner.blocks_processed == 0 and time.monotonic() - t0 < 3.0:
+            time.sleep(0.01)
+        srv = repl_mod.OperatorServer(runner, port=args.serve) \
+            if args.serve else None
+        if srv:
+            print(f"operator session on tcp port {srv.port}")
+        try:
+            repl_mod.interactive(runner)
+        finally:
+            stop.set()
+            pump_thread.join(timeout=10)
+            streamer.stop()
+            if srv:
+                srv.close()
+        if args.config:
+            cfg.save(args.config)
+        return 0
 
     if args.cmd == "ft8":
         # the reference's WAV test mode plays mono audio recordings

@@ -1,0 +1,219 @@
+"""Live operator control session — the encoder/menu surface as a REPL.
+
+The reference's defining operating mode is live interaction while the
+DSP runs: rotary encoders retune mid-stream (`Encoders.cpp:148-309`),
+buttons switch band/mode (`ButtonProc.cpp:56-315`), menus edit values
+with immediate effect (`Menu.cpp:225-318`, `MenuProc.cpp`), and the LCD
+panadapter refreshes continuously (`Display.cpp:240`).  t41x maps that
+to a line-command session over a live `StreamRunner`: every command
+stages a control change that takes effect between blocks (never racing
+the DSP), and `spectrum`/`smeter` render the latest display taps as
+ASCII — usable interactively over stdin or a TCP socket.
+
+    session = OperatorSession(runner)
+    session.execute("tune 40000")       # NCO fine tune, mid-stream
+    session.execute("band 40M")         # band switch, chain swap
+    print(session.execute("spectrum"))  # ASCII panadapter
+
+`serve_tcp(session)` exposes the same commands newline-delimited on a
+socket (multi-line replies are blank-line terminated).
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from t41x import constants as C
+
+AGC_NAMES = {"off": 0, "long": 1, "slow": 2, "med": 3, "fast": 4}
+AGC_LABELS = {v: k for k, v in AGC_NAMES.items()}
+MODES = ("usb", "lsb", "am", "sam", "nfm", "cw", "ft8", "psk31")
+
+HELP = """\
+commands:
+  freq <hz>         set center (VFO) frequency
+  tune <hz>         NCO fine tune (band-edge recentering applies)
+  step [n]          cycle the center-tune increment table
+  band <name|idx>   switch band (80M 40M 20M 17M 15M 12M 10M)
+  mode <m>          set demod mode: usb lsb am sam nfm cw ft8 psk31
+  agc <m>           off long slow med fast (or 0-4)
+  vol <0-100>       audio volume
+  nr <0-3>          noise reduction: off kim spectral lms
+  zoom <z>          spectrum zoom (-1 off, 0 = x1, n = x2^n)
+  filter <lo> <hi>  audio band-pass cuts, Hz
+  spectrum          ASCII panadapter of the latest RF spectrum
+  audio             ASCII spectrum of the latest audio tap
+  smeter            S-meter reading (dBm)
+  status            current settings + load
+  help              this text
+  quit              end session"""
+
+
+class OperatorSession:
+    """Command interpreter bound to a live StreamRunner (or a bare Radio
+    for offline configuration)."""
+
+    def __init__(self, runner):
+        self.runner = runner
+        self.radio = runner.radio
+        self.closed = False
+
+    # ------------------------------------------------------------------
+    def execute(self, line: str) -> str:
+        parts = line.strip().split()
+        if not parts:
+            return ""
+        cmd, args = parts[0].lower(), parts[1:]
+        try:
+            return self._dispatch(cmd, args)
+        except (ValueError, IndexError, KeyError) as e:
+            return f"error: {e}"
+
+    def _dispatch(self, cmd: str, args: list[str]) -> str:
+        radio = self.radio
+        cfg = radio.config
+        if cmd == "help":
+            return HELP
+        if cmd == "quit":
+            self.closed = True
+            return "bye"
+        if cmd == "freq":
+            cfg.center_freq = int(float(args[0]))
+            return f"center {cfg.center_freq} Hz"
+        if cmd == "tune":
+            radio.set_fine_tune(float(args[0]))
+            return (f"nco {cfg.nco_freq:.0f} Hz "
+                    f"(center {cfg.center_freq} Hz)")
+        if cmd == "step":
+            inc = radio.change_freq_increment(int(args[0]) if args else 1)
+            return f"tune increment {inc} Hz"
+        if cmd == "band":
+            radio.set_band(args[0] if not args[0].isdigit()
+                           else int(args[0]))
+            return (f"band {cfg.band.name} "
+                    f"center {cfg.center_freq} Hz mode {cfg.band.mode}")
+        if cmd == "mode":
+            if args[0] not in MODES:
+                raise ValueError(f"mode must be one of {MODES}")
+            radio.set_mode(args[0])
+            return f"mode {args[0]}"
+        if cmd == "agc":
+            mode = AGC_NAMES.get(args[0], None)
+            if mode is None:
+                mode = int(args[0])
+            radio.set_agc(mode)
+            return f"agc {AGC_LABELS[cfg.agc_mode]}"
+        if cmd == "vol":
+            radio.set_volume(int(args[0]))
+            return f"volume {cfg.audio_volume}"
+        if cmd == "nr":
+            radio.set_nr(int(args[0]))
+            return f"nr {cfg.nr_mode}"
+        if cmd == "zoom":
+            radio.set_zoom(int(args[0]))
+            return f"zoom {cfg.spectrum_zoom}"
+        if cmd == "filter":
+            radio.set_filter(float(args[0]), float(args[1]))
+            return f"filter {cfg.band.f_lo_cut}..{cfg.band.f_hi_cut} Hz"
+        if cmd == "spectrum":
+            return self._render_rf_spectrum()
+        if cmd == "audio":
+            return self._render_audio_spectrum()
+        if cmd == "smeter":
+            dbm = self.runner.last_smeter_dbm
+            return "no data yet" if dbm is None else f"{dbm:.1f} dBm"
+        if cmd == "status":
+            return self._status()
+        raise ValueError(f"unknown command {cmd!r} (try 'help')")
+
+    # ------------------------------------------------------------------
+    def _render_rf_spectrum(self) -> str:
+        from t41x.io import display
+
+        spec = self.runner.last_rf_spectrum_db
+        if spec is None:
+            return "no spectrum yet (is the stream running / zoom >= 0?)"
+        floor = float(np.percentile(spec, 20))
+        art = display.ascii_spectrum(spec, floor_db=floor,
+                                     ceil_db=float(spec.max()) + 3.0)
+        zoom = self.radio.config.spectrum_zoom
+        span = C.SAMPLE_RATE / (1 << max(zoom, 0))
+        lo = self.radio.config.center_freq - span / 2
+        hi = self.radio.config.center_freq + span / 2
+        return f"{art}\n{lo/1e6:.4f} MHz {'':56s} {hi/1e6:.4f} MHz"
+
+    def _render_audio_spectrum(self) -> str:
+        from t41x.io import display
+
+        spec = self.runner.last_audio_spectrum
+        if spec is None:
+            return "no audio spectrum yet"
+        db = 10 * np.log10(np.asarray(spec) + 1e-12)
+        floor = float(np.percentile(db, 20))
+        art = display.ascii_spectrum(db, floor_db=floor,
+                                     ceil_db=float(db.max()) + 3.0)
+        return f"{art}\n0 Hz {'':66s} {C.AUDIO_RATE/2/1e3:.0f} kHz"
+
+    def _status(self) -> str:
+        cfg = self.radio.config
+        load = self.runner.load.percent
+        return (f"band {cfg.band.name}  center {cfg.center_freq} Hz  "
+                f"nco {cfg.nco_freq:+.0f} Hz  mode {cfg.band.mode}\n"
+                f"agc {AGC_LABELS.get(cfg.agc_mode, cfg.agc_mode)}  "
+                f"vol {cfg.audio_volume}  nr {cfg.nr_mode}  "
+                f"zoom {cfg.spectrum_zoom}\n"
+                f"blocks {self.runner.blocks_processed}  "
+                f"load {load:.1f}%")
+
+
+class OperatorServer:
+    """Newline-delimited TCP server for an OperatorSession.  Replies are
+    terminated by one blank line (commands may return multi-line art)."""
+
+    def __init__(self, runner, host: str = "127.0.0.1", port: int = 0):
+        session = OperatorSession(runner)
+        self.session = session
+
+        class _TCP(socketserver.StreamRequestHandler):
+            def handle(self):
+                while not session.closed:
+                    line = self.rfile.readline()
+                    if not line:
+                        break
+                    reply = session.execute(line.decode(errors="replace"))
+                    self.wfile.write(reply.encode() + b"\n\n")
+                    self.wfile.flush()
+
+        self._srv = socketserver.ThreadingTCPServer((host, port), _TCP)
+        self._srv.daemon_threads = True
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def interactive(runner, infile=None, outfile=None) -> None:
+    """Blocking stdin/stdout session (the CLI entry point)."""
+    import sys
+
+    inf = infile or sys.stdin
+    outf = outfile or sys.stdout
+    session = OperatorSession(runner)
+    outf.write("t41x operator session — 'help' for commands\n")
+    while not session.closed:
+        outf.write("t41x> ")
+        outf.flush()
+        line = inf.readline()
+        if not line:
+            break
+        reply = session.execute(line)
+        if reply:
+            outf.write(reply + "\n")

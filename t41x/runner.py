@@ -44,6 +44,9 @@ class StreamRunner:
         self._ft8_slots = None
         self.audio_chunks: list[np.ndarray] = []
         self.keep_audio = False
+        self.last_rf_spectrum_db: np.ndarray | None = None
+        self.last_audio_spectrum: np.ndarray | None = None
+        self.last_smeter_dbm: float | None = None
 
     # ------------------------------------------------------------------
     def _ensure_chain(self):
@@ -101,17 +104,24 @@ class StreamRunner:
         results = {"load_percent": self.load.percent}
         if self.keep_audio:
             self.audio_chunks.append(np.asarray(out["audio_24k"]))
-        if self.control is not None:
-            if "rf_spectrum" in out:
-                self.control.publish_rf_spectrum(
-                    10 * np.log10(np.asarray(out["rf_spectrum"]) + 1e-12))
-            if "smeter_avg" in out:
-                from t41x.dsp.spectrum import smeter_dbm
+        # latest display taps, for the control server AND the live
+        # operator session (t41x.io.repl)
+        if "rf_spectrum" in out:
+            self.last_rf_spectrum_db = \
+                10 * np.log10(np.asarray(out["rf_spectrum"]) + 1e-12)
+            if self.control is not None:
+                self.control.publish_rf_spectrum(self.last_rf_spectrum_db)
+        if "audio_spectrum" in out:
+            self.last_audio_spectrum = np.asarray(out["audio_spectrum"])
+        if "smeter_avg" in out:
+            from t41x.dsp.spectrum import smeter_dbm
 
-                dbm = float(smeter_dbm(out["smeter_avg"]))
+            dbm = float(smeter_dbm(out["smeter_avg"]))
+            self.last_smeter_dbm = dbm
+            if self.control is not None:
                 self.control.publish_smeter(dbm)
-                if self.cat is not None:
-                    self.cat.smeter_dbm = dbm
+            if self.cat is not None:
+                self.cat.smeter_dbm = dbm
         if self._morse is not None and "cw_keyed" in out:
             text = self._morse.feed([bool(out["cw_keyed"])])
             if text:

@@ -1,0 +1,118 @@
+"""Live operator session (VERDICT r2 item 8): scripted control of a
+running stream — tune/band/mode/AGC mid-stream, ASCII panadapter — with
+the audio-spectrum peak observed to MOVE when the operator retunes."""
+
+import socket
+
+import numpy as np
+
+from t41x import constants as C
+from t41x.io import signals
+from t41x.io.repl import OperatorServer, OperatorSession
+from t41x.radio import Radio
+from t41x.runner import StreamRunner
+
+AUDIO_BIN_HZ = C.AUDIO_RATE / 512.0
+
+
+def _two_station_capture(n: int) -> np.ndarray:
+    """Station A: 800 Hz tone at the tuning point; station B: 1500 Hz
+    tone 40 kHz up — the operator must retune (NCO) to hear B."""
+    a = signals.usb_signal([800.0], n) * 0.3
+    b = signals.usb_signal([1500.0], n, nco=40_000.0) * 0.3
+    return (a + b).astype(np.complex64)
+
+
+def _pump(runner: StreamRunner, iq: np.ndarray, n_blocks: int,
+          offset: int = 0) -> int:
+    for b in range(n_blocks):
+        s = ((offset + b) * C.BLOCK_SIZE) % (len(iq) - C.BLOCK_SIZE)
+        runner.ring.push(np.ascontiguousarray(
+            iq[s: s + C.BLOCK_SIZE]).view(np.float32))
+        runner.drain()
+    return offset + n_blocks
+
+
+def _audio_peak_hz(runner: StreamRunner) -> float:
+    spec = np.asarray(runner.last_audio_spectrum)
+    return float(np.argmax(spec) * AUDIO_BIN_HZ)
+
+
+def test_operator_session_retune_moves_audio_peak():
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+    iq = _two_station_capture(24 * C.BLOCK_SIZE)
+
+    off = _pump(runner, iq, 10)
+    assert abs(_audio_peak_hz(runner) - 800.0) < 2 * AUDIO_BIN_HZ
+
+    # operator retunes 40 kHz up, mid-stream; station B appears at 1500
+    out = session.execute("tune 40000")
+    assert "nco 40000" in out
+    off = _pump(runner, iq, 10, off)
+    assert abs(_audio_peak_hz(runner) - 1500.0) < 2 * AUDIO_BIN_HZ
+
+    # spectrum art renders with energy above the floor
+    art = session.execute("audio")
+    assert "#" in art
+
+    # status reflects the live stream
+    status = session.execute("status")
+    assert "blocks 20" in status and "nco +40000" in status
+
+
+def test_operator_session_band_mode_agc_mid_stream():
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+    iq = _two_station_capture(16 * C.BLOCK_SIZE)
+
+    off = _pump(runner, iq, 4)
+    assert session.execute("band 40M").startswith("band 40M")
+    assert "mode cw" == session.execute("mode cw")
+    assert session.execute("agc fast") == "agc fast"
+    assert session.execute("vol 80") == "volume 80"
+    # the swapped-in chain keeps processing (new spec compiled lazily)
+    off = _pump(runner, iq, 4, off)
+    assert runner.blocks_processed == 8
+    st = session.execute("status")
+    assert "band 40M" in st and "mode cw" in st and "agc fast" in st
+    # rf panadapter renders (zoom defaults to x2)
+    art = session.execute("spectrum")
+    assert "#" in art and "MHz" in art
+    # errors are reported, not raised
+    assert session.execute("mode fm").startswith("error")
+    assert session.execute("bogus").startswith("error")
+
+
+def test_operator_tcp_server_scripted_session():
+    radio = Radio()
+    runner = StreamRunner(radio)
+    iq = _two_station_capture(12 * C.BLOCK_SIZE)
+    _pump(runner, iq, 6)
+
+    srv = OperatorServer(runner)
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=10) as sk:
+            f = sk.makefile("rwb")
+
+            def cmd(line: str) -> str:
+                f.write(line.encode() + b"\n")
+                f.flush()
+                out = []
+                while True:
+                    ln = f.readline()
+                    if not ln or ln == b"\n":
+                        break
+                    out.append(ln.decode().rstrip("\n"))
+                return "\n".join(out)
+
+            assert "tune increment" in cmd("step")
+            assert cmd("tune 12500").startswith("nco 12500")
+            assert "#" in cmd("audio")
+            assert "blocks 6" in cmd("status")
+            assert cmd("quit") == "bye"
+    finally:
+        srv.close()
