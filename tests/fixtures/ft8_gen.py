@@ -171,13 +171,81 @@ def ldpc_parity(a91: np.ndarray) -> np.ndarray:
     return b
 
 
-def encode_codeword(msg: str) -> np.ndarray:
-    a91 = add_crc(pack77(msg))
+# ---------------------------------------------------------------------
+# type 4 (nonstandard/hashed calls) and type 0.5 (telemetry) payloads,
+# written independently from the 77-bit spec (field layouts:
+# 12|58|1|2|1|i3=4 and 71|n3=5|i3=0)
+# ---------------------------------------------------------------------
+
+_A38G = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
+_HASH_MULT = 47055833459
+
+
+def hash_call(call: str, m: int) -> int:
+    """WSJT-X multiplier hash: base-38 value of the 11-char left-
+    justified call, times the magic multiplier, top m bits."""
+    digits = [_A38G.index(ch) for ch in call.strip().upper().ljust(11)]
+    n = 0
+    for d in digits:
+        n = 38 * n + d
+    prod = (_HASH_MULT * n) % (1 << 64)
+    return prod >> (64 - m)
+
+
+def pack77_type4(msg: str) -> np.ndarray:
+    """`CQ PJ4/KA1ABC`, `<W9XYZ> PJ4/KA1ABC RR73`, `PJ4/KA1ABC <W9XYZ> 73`."""
+    parts = msg.strip().upper().split()
+    nrpt = 0
+    if parts[-1] in ("RRR", "RR73", "73"):
+        nrpt = ("RRR", "RR73", "73").index(parts[-1]) + 1
+        parts = parts[:-1]
+    a, b = parts
+    if a == "CQ":
+        icq, iflip, hashed, full = 1, 0, b, b
+    elif a.startswith("<"):
+        icq, iflip, hashed, full = 0, 0, a[1:-1], b
+    else:
+        icq, iflip, hashed, full = 0, 1, b[1:-1], a
+    n58 = 0
+    for ch in full.rjust(11):
+        n58 = 38 * n58 + _A38G.index(ch)
+    val = hash_call(hashed, 12)
+    for v, w in ((n58, 58), (iflip, 1), (nrpt, 2), (icq, 1), (4, 3)):
+        val = (val << w) | int(v)
+    return np.array([(val >> (76 - i)) & 1 for i in range(77)], np.uint8)
+
+
+def pack77_telemetry(hexstr: str) -> np.ndarray:
+    """Type 0.5: up to 71 bits of raw telemetry as 18 hex digits."""
+    val = int(hexstr, 16)
+    assert val < (1 << 71)
+    val = (val << 3) | 5      # n3 = 5
+    val = (val << 3) | 0      # i3 = 0
+    return np.array([(val >> (76 - i)) & 1 for i in range(77)], np.uint8)
+
+
+def payload_for(msg: str) -> np.ndarray:
+    m = msg.strip().upper()
+    parts = m.split()
+    if len(parts) == 1 and len(parts[0]) == 18:
+        return pack77_telemetry(parts[0])
+    if any("/" in p and len(p.split("/")[0]) > 2 for p in parts) \
+            or any(p.startswith("<") for p in parts):
+        return pack77_type4(m)
+    return pack77(m)
+
+
+def codeword_for_payload(p77: np.ndarray) -> np.ndarray:
+    a91 = add_crc(p77)
     p83 = ldpc_parity(a91)
     cw = np.concatenate([a91, p83])
     H = build_h()
     assert ((H @ cw) % 2 == 0).all(), "parity solve failed"
     return cw
+
+
+def encode_codeword(msg: str) -> np.ndarray:
+    return codeword_for_payload(payload_for(msg))
 
 
 def tones(msg: str) -> np.ndarray:

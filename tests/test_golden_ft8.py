@@ -60,3 +60,76 @@ def test_decode_independent_noisy_signal():
     slot[start: start + len(audio)] += audio
     decoded = ft8_decode.decode_audio(slot)
     assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+
+
+def test_independent_type4_and_telemetry_match_t41x_encoder():
+    # nonstandard/hashed calls (i3=4) and telemetry (0.5): independent
+    # payload packers (big-int field assembly, own multiplier hash)
+    # must reach the exact tone stream t41x encodes
+    for msg in ("CQ PJ4/K1ABC", "<W9XYZ> PJ4/K1ABC RR73",
+                "PJ4/K1ABC <W9XYZ> 73", "123456789ABCDEF012"):
+        np.testing.assert_array_equal(
+            ft8_gen.tones(msg), np.asarray(t41x_encode.encode(msg)),
+            err_msg=msg)
+
+
+def test_decode_independent_type4_cq():
+    msg = "CQ PJ4/K1ABC"
+    audio = ft8_gen.synth(msg, base_freq=1400.0, rate=C.AUDIO_RATE)
+    slot = np.zeros(int(14 * C.AUDIO_RATE), np.float32)
+    start = int(0.7 * C.AUDIO_RATE)
+    slot[start: start + len(audio)] = audio
+    decoded = ft8_decode.decode_audio(slot)
+    assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+
+
+def test_decode_independent_telemetry():
+    msg = "0DEADBEEF012345678"
+    audio = ft8_gen.synth(msg, base_freq=800.0, rate=C.AUDIO_RATE)
+    slot = np.zeros(int(14 * C.AUDIO_RATE), np.float32)
+    slot[: len(audio)] = audio
+    decoded = ft8_decode.decode_audio(slot)
+    assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+
+
+def test_decode_independent_type4_hash_resolution_across_slots():
+    """A standard message primes the session hash table; a later type-4
+    message referencing <W9XYZ> then renders the real call (the WSJT-X
+    save_hash_call flow the reference stubs out, `ft8.cpp:1218`)."""
+    from t41x.decode.ft8 import message as msg_mod
+
+    hashes = msg_mod.CallHashTable()
+    slot_len = int(14 * C.AUDIO_RATE)
+
+    a1 = ft8_gen.synth("CQ W9XYZ EM77", base_freq=1000.0,
+                       rate=C.AUDIO_RATE)
+    slot1 = np.zeros(slot_len, np.float32)
+    slot1[: len(a1)] = a1
+    d1 = ft8_decode.decode_audio(slot1, hashes=hashes)
+    assert any(d.text == "CQ W9XYZ EM77" for d in d1)
+
+    a2 = ft8_gen.synth("<W9XYZ> PJ4/K1ABC RR73", base_freq=1700.0,
+                       rate=C.AUDIO_RATE)
+    slot2 = np.zeros(slot_len, np.float32)
+    slot2[: len(a2)] = a2
+    d2 = ft8_decode.decode_audio(slot2, hashes=hashes)
+    assert any(d.text == "<W9XYZ> PJ4/K1ABC RR73" for d in d2), \
+        [d.text for d in d2]
+
+
+def test_decode_independent_low_snr_multi_signal_slot():
+    """Three independently-generated signals in one slot, two of them
+    weak in noise — the candidate search + LDPC must pull all three."""
+    msgs = [("CQ K1ABC FN42", 700.0, 0.35),
+            ("K1ABC W9XYZ EM77", 1250.0, 0.10),
+            ("W9XYZ K1ABC R-08", 1900.0, 0.10)]
+    rng = np.random.default_rng(21)
+    slot = (0.16 * rng.standard_normal(int(14 * C.AUDIO_RATE))
+            ).astype(np.float32)
+    for msg, freq, amp in msgs:
+        a = ft8_gen.synth(msg, base_freq=freq, rate=C.AUDIO_RATE, amp=amp)
+        start = int(0.5 * C.AUDIO_RATE)
+        slot[start: start + len(a)] += a
+    decoded = [d.text for d in ft8_decode.decode_audio(slot)]
+    for msg, _, _ in msgs:
+        assert msg in decoded, (msg, decoded)
