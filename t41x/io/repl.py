@@ -35,19 +35,22 @@ MODES = ("usb", "lsb", "am", "sam", "nfm", "cw", "ft8", "psk31")
 
 HELP = """\
 commands:
-  freq <hz>         set center (VFO) frequency
-  tune <hz>         NCO fine tune (band-edge recentering applies)
+  freq <hz>|+|-     set center (VFO) frequency / nudge by the increment
+  tune <hz>|+|-     NCO fine tune / nudge by the fine-tune step
   step [n]          cycle the center-tune increment table
   band <name|idx>   switch band (80M 40M 20M 17M 15M 12M 10M)
   mode <m>          set demod mode: usb lsb am sam nfm cw ft8 psk31
   agc <m>           off long slow med fast (or 0-4)
-  vol <0-100>       audio volume
+  vol <0-100>|+|-   audio volume / nudge by 5
   nr <0-3>          noise reduction: off kim spectral lms
   zoom <z>          spectrum zoom (-1 off, 0 = x1, n = x2^n)
   filter <lo> <hi>  audio band-pass cuts, Hz
   spectrum          ASCII panadapter of the latest RF spectrum
   audio             ASCII spectrum of the latest audio tap
   smeter            S-meter reading (dBm)
+  cal tx [tone_hz]  TX IQ calibration via the attached loopback
+  save <path>       persist config (the EEPROM/SD menu)
+  load <path>       restore config
   status            current settings + load
   help              this text
   quit              end session"""
@@ -55,11 +58,17 @@ commands:
 
 class OperatorSession:
     """Command interpreter bound to a live StreamRunner (or a bare Radio
-    for offline configuration)."""
+    for offline configuration).
 
-    def __init__(self, runner):
+    `loopback`: optional callable iq -> iq used by `cal tx` — the
+    TX->RX path (real hardware, or a simulated impairment in tests),
+    the role the QSE/QSD loopback plays in the reference's
+    `DoXmitCalibrate` (`Process2.cpp:226`)."""
+
+    def __init__(self, runner, loopback=None):
         self.runner = runner
         self.radio = runner.radio
+        self.loopback = loopback
         self.closed = False
 
     # ------------------------------------------------------------------
@@ -82,10 +91,21 @@ class OperatorSession:
             self.closed = True
             return "bye"
         if cmd == "freq":
-            cfg.center_freq = int(float(args[0]))
+            if args[0] in ("+", "-"):
+                from t41x.config import FREQ_INCREMENTS
+                inc = FREQ_INCREMENTS[cfg.tune_index]
+                cfg.center_freq += inc if args[0] == "+" else -inc
+            else:
+                cfg.center_freq = int(float(args[0]))
             return f"center {cfg.center_freq} Hz"
         if cmd == "tune":
-            radio.set_fine_tune(float(args[0]))
+            if args[0] in ("+", "-"):
+                # encoder detent: one fine-tune step (EncoderFineTuneISR)
+                step = cfg.fine_tune_step
+                radio.set_fine_tune(
+                    cfg.nco_freq + (step if args[0] == "+" else -step))
+            else:
+                radio.set_fine_tune(float(args[0]))
             return (f"nco {cfg.nco_freq:.0f} Hz "
                     f"(center {cfg.center_freq} Hz)")
         if cmd == "step":
@@ -108,8 +128,26 @@ class OperatorSession:
             radio.set_agc(mode)
             return f"agc {AGC_LABELS[cfg.agc_mode]}"
         if cmd == "vol":
-            radio.set_volume(int(args[0]))
+            if args[0] in ("+", "-"):
+                radio.set_volume(cfg.audio_volume
+                                 + (5 if args[0] == "+" else -5))
+            else:
+                radio.set_volume(int(args[0]))
             return f"volume {cfg.audio_volume}"
+        if cmd == "save":
+            cfg.save(args[0])
+            return f"config saved to {args[0]}"
+        if cmd == "load":
+            from t41x.config import RadioConfig
+
+            self.radio.config = RadioConfig.load(args[0])
+            self.radio._chain = None
+            return f"config loaded from {args[0]}"
+        if cmd == "cal":
+            if not args or args[0] != "tx":
+                raise ValueError("usage: cal tx [tone_hz]")
+            return self._cal_tx(float(args[1]) if len(args) > 1
+                                else 1000.0)
         if cmd == "nr":
             radio.set_nr(int(args[0]))
             return f"nr {cfg.nr_mode}"
@@ -131,6 +169,47 @@ class OperatorSession:
         raise ValueError(f"unknown command {cmd!r} (try 'help')")
 
     # ------------------------------------------------------------------
+    def _cal_tx(self, tone_hz: float) -> str:
+        """The MenuProc calibrate flow (`DoXmitCalibrate`
+        `Process2.cpp:226-293`): cal tone through the TX IQ-correction
+        path, through the loopback, coordinate descent on the TX
+        correction factors against measured image rejection, then
+        write-through to config (the reference EEPROMWrites in
+        `CalibratePrologue`)."""
+        if self.loopback is None:
+            return ("no TX->RX loopback attached — pass "
+                    "OperatorSession(runner, loopback=fn)")
+        import jax.numpy as jnp
+
+        from t41x.chain import cal as cal_mod, tx
+
+        cfg = self.radio.config
+        n = 4 * C.BLOCK_SIZE
+        t = np.arange(n) / C.SAMPLE_RATE
+        mic = (0.3 * np.sin(2 * np.pi * tone_hz * t)).astype(np.float32)
+        ex = tx.SSBExciter(tx.TxSpec(
+            sideband="lsb" if cfg.band.mode == "lsb" else "usb"))
+
+        def measure(amp: float, phase: float) -> float:
+            p = tx.default_tx_params()._replace(
+                iq_amp=np.float32(amp), iq_phase=np.float32(phase))
+            st = ex.init_state(())
+            outs = []
+            for b in range(n // C.BLOCK_SIZE):
+                st, iq = ex.block(p, st, jnp.asarray(
+                    mic[b * C.BLOCK_SIZE:(b + 1) * C.BLOCK_SIZE]))
+                outs.append(np.asarray(iq))
+            iq = np.concatenate(outs)[C.BLOCK_SIZE:]
+            return cal_mod.image_rejection_db(self.loopback(iq), tone_hz)
+
+        amp, phase, best = cal_mod.calibrate_iq(
+            measure, float(cfg.band.iq_amp_correction_tx),
+            float(cfg.band.iq_phase_correction_tx))
+        cfg.band.iq_amp_correction_tx = float(amp)
+        cfg.band.iq_phase_correction_tx = float(phase)
+        return (f"TX cal: amp {amp:.4f} phase {phase:+.4f} "
+                f"image rejection {best:.1f} dB")
+
     def _render_rf_spectrum(self) -> str:
         from t41x.io import display
 

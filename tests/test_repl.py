@@ -86,6 +86,54 @@ def test_operator_session_band_mode_agc_mid_stream():
     assert session.execute("bogus").startswith("error")
 
 
+def test_operator_encoder_nudges_and_eeprom_menu(tmp_path):
+    """Encoder-detent nudges (tune/freq/vol +/-) and the EEPROM menu
+    analog (save/load from the live session)."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+
+    assert "tune increment" in session.execute("step")
+    f0 = radio.config.center_freq
+    session.execute("freq +")
+    assert radio.config.center_freq > f0
+    session.execute("tune 1000")
+    session.execute("tune +")
+    assert radio.config.nco_freq == 1000.0 + radio.config.fine_tune_step
+    session.execute("vol 50")
+    session.execute("vol -")
+    assert radio.config.audio_volume == 45
+
+    path = str(tmp_path / "rig.json")
+    session.execute("vol 72")
+    assert "saved" in session.execute(f"save {path}")
+    session.execute("vol 10")
+    assert "loaded" in session.execute(f"load {path}")
+    assert radio.config.audio_volume == 72
+
+
+def test_operator_cal_tx_flow_converges():
+    """The MenuProc calibrate flow from the live session: a simulated
+    analog IQ imbalance as the loopback; `cal tx` must improve image
+    rejection and write the factors through to config."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+
+    def hardware(iq):
+        i, q = iq.real, iq.imag
+        return (1.08 * i + 0.06 * q) + 1j * q
+
+    session = OperatorSession(runner, loopback=hardware)
+    out = session.execute("cal tx 1000")
+    assert "image rejection" in out, out
+    rej = float(out.split("rejection")[1].split("dB")[0])
+    assert rej > 30.0, out
+    assert radio.config.band.iq_amp_correction_tx != 1.0
+
+    bare = OperatorSession(runner)
+    assert "no TX->RX loopback" in bare.execute("cal tx")
+
+
 def test_operator_tcp_server_scripted_session():
     radio = Radio()
     runner = StreamRunner(radio)
