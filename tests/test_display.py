@@ -119,3 +119,25 @@ def test_ascii_spectrum():
     assert lines[1][100 * 64 // 512] == "#"
     # empty far column is blank
     assert lines[1][60] == " "
+
+
+def test_render_bearing_map():
+    """DX bearing map: QTH + DXCC endpoint + great-circle path drawn,
+    heading/distance sane (Boston -> Japan goes NNW over the pole)."""
+    from t41x.io.display import render_bearing_map
+
+    img, info = render_bearing_map("FN42", "JA1XYZ", scale=2)
+    assert img.shape == (360, 720, 3)
+    assert info["country"] == "Japan"
+    assert 320 < info["bearing_deg"] < 350, info
+    assert 9000 < info["distance_km"] < 12500, info
+    # path pixels drawn (yellow), endpoints present (white + red)
+    yellow = (img == np.array([255, 210, 60])).all(axis=-1).sum()
+    assert yellow > 100
+    assert (img == np.array([255, 255, 255])).all(axis=-1).any()
+    assert (img == np.array([255, 60, 60])).all(axis=-1).any()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        render_bearing_map("FN42", "ZZ9ZZZ")
