@@ -85,7 +85,7 @@ class FusedFrontEnd:
     def _kernel(self, n, Rt_ref, Lt_ref, G_ref, pp_ref, dcs_ref,
                 h1r_ref, h1i_ref, h2r_ref, h2i_ref, xr_ref, xi_ref,
                 yr_ref, yi_ref, ndcs_ref, nph_ref, nh1r_ref, nh1i_ref,
-                nh2r_ref, nh2i_ref, xc1_ref, xc2_ref):
+                nh2r_ref, nh2i_ref, xc1_ref, xc2_ref, xr2_ref, xi2_ref):
         f32 = jnp.float32
         t1, t2 = self.t1, self.t2
         n1 = n // C.DF1            # 512
@@ -102,47 +102,76 @@ class FusedFrontEnd:
         G = G_ref[:]
         AKt = self.AKt  # 2x2 numpy: embedded as scalar constants
 
-        def dc_stream(x, s0a, s0b):
-            # x: (TILE_C, n); s0a/s0b: (TILE_C, 1) state columns.  The
-            # K x K particular-solution matmul rides the MXU; the rank-2
-            # state terms are cheap broadcasts (a (TILE_C,2)@(2,K) dot
-            # is a degenerate matmul Mosaic handles poorly).
-            outs = []
-            for k in range(n // _K):
-                xc = x[:, k * _K:(k + 1) * _K]
-                y = (self.b0 * xc + s0a * Rt[0:1, :] + s0b * Rt[1:2, :]
-                     + jnp.dot(xc, Lt, preferred_element_type=f32))
-                xg = jnp.dot(xc, G, preferred_element_type=f32)
-                s0a, s0b = (s0a * AKt[0, 0] + s0b * AKt[1, 0] + xg[:, 0:1],
-                            s0a * AKt[0, 1] + s0b * AKt[1, 1] + xg[:, 1:2])
-                outs.append(y)
-            return jnp.concatenate(outs, axis=1), s0a, s0b
-
-        # reference order (Process.cpp:117-175): gain, DC block, IQ corr
-        i_dc, sI1, sI2 = dc_stream(xr_ref[0] * g, dcs_ref[0, :, 0:1],
-                                   dcs_ref[0, :, 1:2])
-        q_dc, sQ1, sQ2 = dc_stream(xi_ref[0] * g, dcs_ref[0, :, 2:3],
-                                   dcs_ref[0, :, 3:4])
-        ndcs_ref[0] = jnp.concatenate([sI1, sI2, sQ1, sQ2], axis=1)
-
-        i_p = i_dc
-        q_p = q_dc
+        # --- one fused chunk loop: DC biquad + IQ correction + fs4/NCO.
+        # The NCO phasor is the kernel's transcendental wall if computed
+        # per sample (2 * TILE_C * n cos/sin per tile measured at ~68 us
+        # of a 195 us kernel); instead evaluate cos/sin for ONE chunk of
+        # _K samples and advance chunks by the angle-addition rotation
+        # theta -> theta + w*_K (4 mul + 2 add per element), which is
+        # exact up to ~16 fp32 roundings over the block.
         pos = ph >= 0.0
-        i_c = jnp.where(pos, i_p * amp + ph * q_p, i_p * amp)
-        q_c = jnp.where(pos, q_p, q_p + ph * i_c)
+        nq = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, _K), 1)
+        m4 = jnp.remainder(nq, 4)  # _K % 4 == 0: same pattern per chunk
+        fr = jnp.where(m4 == 0, 1.0, jnp.where(m4 == 2, -1.0, 0.0))
+        fi = jnp.where(m4 == 1, 1.0, jnp.where(m4 == 3, -1.0, 0.0))
+        theta0 = ph0 + w * (nq.astype(f32) + 1.0)
+        cs = jnp.cos(theta0)
+        sn = jnp.sin(theta0)
+        cd = jnp.cos(w * f32(_K))      # (TILE_C, 1) per-chunk rotation
+        sd = jnp.sin(w * f32(_K))
 
-        # exact j^n fs4 pattern + NCO phasor e^{-i(ph0 + w(n+1))}
-        nn = jax.lax.broadcasted_iota(jnp.int32, (TILE_C, n), 1)
-        m = jnp.remainder(nn, 4)
-        fr = jnp.where(m == 0, 1.0, jnp.where(m == 2, -1.0, 0.0))
-        fi = jnp.where(m == 1, 1.0, jnp.where(m == 3, -1.0, 0.0))
-        theta = ph0 + w * (nn.astype(f32) + 1.0)
-        cs = jnp.cos(theta)
-        sn = jnp.sin(theta)
-        tr = self.nco_gain * (fr * cs + fi * sn)
-        ti = self.nco_gain * (fi * cs - fr * sn)
-        xr2 = i_c * tr - q_c * ti
-        xi2 = i_c * ti + q_c * tr
+        def chunk_body(k, carry):
+            sI1, sI2, sQ1, sQ2, cs, sn = carry
+            sl = pl.ds(k * _K, _K)
+            # DC biquad chunk (reference order Process.cpp:117-175:
+            # gain, DC block, IQ corr).  The K x K particular-solution
+            # matmul rides the MXU; the rank-2 state terms are cheap
+            # broadcasts (a (TILE_C,2)@(2,K) dot is a degenerate matmul
+            # Mosaic handles poorly).
+            xc = xr_ref[0, :, sl] * g
+            i_p = (self.b0 * xc + sI1 * Rt[0:1, :] + sI2 * Rt[1:2, :]
+                   + jnp.dot(xc, Lt, preferred_element_type=f32))
+            xg = jnp.dot(xc, G, preferred_element_type=f32)
+            sI1, sI2 = (sI1 * AKt[0, 0] + sI2 * AKt[1, 0] + xg[:, 0:1],
+                        sI1 * AKt[0, 1] + sI2 * AKt[1, 1] + xg[:, 1:2])
+            xc = xi_ref[0, :, sl] * g
+            q_p = (self.b0 * xc + sQ1 * Rt[0:1, :] + sQ2 * Rt[1:2, :]
+                   + jnp.dot(xc, Lt, preferred_element_type=f32))
+            xg = jnp.dot(xc, G, preferred_element_type=f32)
+            sQ1, sQ2 = (sQ1 * AKt[0, 0] + sQ2 * AKt[1, 0] + xg[:, 0:1],
+                        sQ1 * AKt[0, 1] + sQ2 * AKt[1, 1] + xg[:, 1:2])
+
+            # IQ amplitude/phase correction (Utility.cpp:178-187)
+            i_c = jnp.where(pos, i_p * amp + ph * q_p, i_p * amp)
+            q_c = jnp.where(pos, q_p, q_p + ph * i_c)
+
+            # fs4 (exact j^n) x NCO phasor e^{-i theta} for this chunk
+            tr = self.nco_gain * (fr * cs + fi * sn)
+            ti = self.nco_gain * (fi * cs - fr * sn)
+            xr2_ref[:, sl] = i_c * tr - q_c * ti
+            xi2_ref[:, sl] = i_c * ti + q_c * tr
+            return (sI1, sI2, sQ1, sQ2,
+                    cs * cd - sn * sd, sn * cd + cs * sd)
+
+        # partial unroll: UNROLL chunks per fori step — full static
+        # unroll lets Mosaic pipeline best (146 us vs 177 us rolled at
+        # 1024 ch) but costs ~10 min of Mosaic scheduling; 4x unroll
+        # keeps most of the win at a sane compile time
+        UNROLL = 4
+        carry = (dcs_ref[0, :, 0:1], dcs_ref[0, :, 1:2],
+                 dcs_ref[0, :, 2:3], dcs_ref[0, :, 3:4], cs, sn)
+
+        def outer_body(j, carry):
+            for u in range(UNROLL):
+                carry = chunk_body(j * UNROLL + u, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n // _K // UNROLL, outer_body, carry)
+        sI1, sI2, sQ1, sQ2, _, _ = carry
+
+        xr2 = xr2_ref[:]
+        xi2 = xi2_ref[:]
+        ndcs_ref[0] = jnp.concatenate([sI1, sI2, sQ1, sQ2], axis=1)
         nph_ref[0] = jnp.remainder(ph0 + w * f32(n), f32(2.0 * np.pi))
 
         # time-major for the decimators
@@ -211,6 +240,8 @@ class FusedFrontEnd:
             scratch_shapes=[
                 pltpu.VMEM((self.t1 - 1 + n, TILE_C), f32),
                 pltpu.VMEM((self.t2 - 1 + n // C.DF1, TILE_C), f32),
+                pltpu.VMEM((TILE_C, n), f32),
+                pltpu.VMEM((TILE_C, n), f32),
             ],
             interpret=self.interpret,
         )(jnp.asarray(self.Rt), jnp.asarray(self.Lt), jnp.asarray(self.G),

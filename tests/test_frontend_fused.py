@@ -136,7 +136,7 @@ def test_fused_sam_tail_post_lock():
                                30.0, atol=2.0)
     np.testing.assert_allclose(np.asarray(out_f["sam_carrier_hz"]),
                                np.asarray(out_p["sam_carrier_hz"]),
-                               atol=0.05)
+                               atol=0.2)
     a_p = np.asarray(out_p["audio_24k"])
     a_f = np.asarray(out_f["audio_24k"])
     np.testing.assert_allclose(a_f, a_p, rtol=0.02,
