@@ -281,6 +281,13 @@ def agc_apply(params: AGCParams, st: AGCState, x: jnp.ndarray,
     B = p.attack_buffsize
     N = x.shape[-1]
 
+    if use_pallas and N >= B:
+        # whole-block kernel: prework + recurrence + gain in one Pallas
+        # program (the split prework below costs ~3x the recurrence in
+        # HBM passes at scale)
+        from t41x.kernels.agc_pallas import agc_block_pallas
+        return agc_block_pallas(p, st, x)
+
     # delay line: out_sample[n] = x[n - B]  (negative index -> carried ring)
     full = jnp.concatenate([st.ring, x], axis=-1)              # (..., B+N)
     abs_x = jnp.abs(x)  # pmode=1 sqrt magnitude (DSP_Fn.cpp:516-519)
