@@ -65,6 +65,7 @@ class ChainSpec:
     interpolate_out: bool = True
     use_matmul_osfilter: bool = True
     use_pallas: bool = False   # Pallas TPU kernel for the OS filter
+    q15_input: bool = False    # ingest ADC q15 int16 (i, q) pairs
     spectrum_taps: bool = True  # emit audio-spectrum + S-meter taps
     sample_rate: float = C.SAMPLE_RATE
     fft_length: int = C.FFT_LENGTH
@@ -248,11 +249,19 @@ class RxChain:
     def block(self, params: ChannelParams, state: RxState, iq: jnp.ndarray):
         """Process one block.
 
-        iq: (..., BLOCK) complex64 at the RF rate.
+        iq: (..., BLOCK) complex64 at the RF rate — or, with
+        spec.q15_input, a pair of int16 arrays (i, q) in the reference's
+        ADC q15 format (Process.cpp:102-111 arm_q15_to_float), which
+        halves the ingest bytes of the dominant HBM stream.
         Returns (new_state, outputs: dict).
         """
         spec = self.spec
         outputs = {}
+
+        if spec.q15_input and self.fused_fe is None:
+            i16, q16 = iq
+            iq = ((i16.astype(jnp.float32) + 1j * q16.astype(jnp.float32))
+                  * jnp.float32(1.0 / 32768.0)).astype(jnp.complex64)
 
         if self.fused_fe is not None:
             (dc_bq, nco_phase, dec1, dec2), x = self.fused_fe.block(

@@ -85,8 +85,20 @@ class FusedFrontEnd:
     def _kernel(self, n, Rt_ref, Lt_ref, G_ref, pp_ref, dcs_ref,
                 h1r_ref, h1i_ref, h2r_ref, h2i_ref, xr_ref, xi_ref,
                 yr_ref, yi_ref, ndcs_ref, nph_ref, nh1r_ref, nh1i_ref,
-                nh2r_ref, nh2i_ref, xc1_ref, xc2_ref, xr2_ref, xi2_ref):
+                nh2r_ref, nh2i_ref, xc1_ref, xc2_ref, xr2_ref, xi2_ref,
+                *q15_scratch):
         f32 = jnp.float32
+        if q15_scratch:
+            # q15 ingest: one whole-tile int16 -> f32 relayout up front
+            # (per-chunk converts of strided lane slices are slower)
+            xf_r, xf_i = q15_scratch
+            xf_r[:] = xr_ref[0].astype(f32)
+            xf_i[:] = xi_ref[0].astype(f32)
+            ld_r = lambda sl: xf_r[:, sl]      # noqa: E731
+            ld_i = lambda sl: xf_i[:, sl]      # noqa: E731
+        else:
+            ld_r = lambda sl: xr_ref[0, :, sl]  # noqa: E731
+            ld_i = lambda sl: xi_ref[0, :, sl]  # noqa: E731
         t1, t2 = self.t1, self.t2
         n1 = n // C.DF1            # 512
         n2 = n1 // C.DF2           # 256
@@ -128,13 +140,14 @@ class FusedFrontEnd:
             # matmul rides the MXU; the rank-2 state terms are cheap
             # broadcasts (a (TILE_C,2)@(2,K) dot is a degenerate matmul
             # Mosaic handles poorly).
-            xc = xr_ref[0, :, sl] * g
+            # (for q15 ingest the 1/32768 scale is folded into g)
+            xc = ld_r(sl) * g
             i_p = (self.b0 * xc + sI1 * Rt[0:1, :] + sI2 * Rt[1:2, :]
                    + jnp.dot(xc, Lt, preferred_element_type=f32))
             xg = jnp.dot(xc, G, preferred_element_type=f32)
             sI1, sI2 = (sI1 * AKt[0, 0] + sI2 * AKt[1, 0] + xg[:, 0:1],
                         sI1 * AKt[0, 1] + sI2 * AKt[1, 1] + xg[:, 1:2])
-            xc = xi_ref[0, :, sl] * g
+            xc = ld_i(sl) * g
             q_p = (self.b0 * xc + sQ1 * Rt[0:1, :] + sQ2 * Rt[1:2, :]
                    + jnp.dot(xc, Lt, preferred_element_type=f32))
             xg = jnp.dot(xc, G, preferred_element_type=f32)
@@ -242,7 +255,8 @@ class FusedFrontEnd:
                 pltpu.VMEM((self.t2 - 1 + n // C.DF1, TILE_C), f32),
                 pltpu.VMEM((TILE_C, n), f32),
                 pltpu.VMEM((TILE_C, n), f32),
-            ],
+            ] + ([pltpu.VMEM((TILE_C, n), f32)] * 2
+                 if xr.dtype == jnp.int16 else []),
             interpret=self.interpret,
         )(jnp.asarray(self.Rt), jnp.asarray(self.Lt), jnp.asarray(self.G),
           pp, dcs, h1r, h1i, h2r, h2i, xr, xi)
@@ -251,12 +265,16 @@ class FusedFrontEnd:
     def block(self, params, state, iq: jnp.ndarray):
         """params: ChannelParams-compatible (nco_freq, rf_gain_db,
         band_gain, iq_amp, iq_phase as (...,) arrays); state: the
-        4-tuple from init_state; iq: (..., N) complex64.
+        4-tuple from init_state; iq: (..., N) complex64, or an
+        (i, q) pair of int16 q15 arrays (ADC format) — the kernel
+        converts on load with the 1/32768 scale folded into the gain.
         Returns (new_state, x) with x (..., N/8) complex64 at 24 kHz.
         """
         dc_bq, nco_phase, dec1, dec2 = state
-        lead = iq.shape[:-1]
-        n = iq.shape[-1]
+        q15 = isinstance(iq, (tuple, list))
+        xr_in, xi_in = (iq[0], iq[1]) if q15 else (iq.real, iq.imag)
+        lead = xr_in.shape[:-1]
+        n = xr_in.shape[-1]
         c = int(np.prod(lead)) if lead else 1
         gdim = max(1, -(-c // TILE_C))
         pad = gdim * TILE_C - c
@@ -273,6 +291,8 @@ class FusedFrontEnd:
 
         g = (10.0 ** (params.rf_gain_db / 20.0) * params.band_gain
              ).astype(jnp.float32).reshape(-1)
+        if q15:
+            g = g * jnp.float32(1.0 / 32768.0)
         w = (2.0 * np.pi * jnp.asarray(params.nco_freq, jnp.float32)
              / self.fs).reshape(-1)
         pp = jnp.stack(
@@ -287,7 +307,7 @@ class FusedFrontEnd:
             pp, dcs,
             time_major(dec1.real), time_major(dec1.imag),
             time_major(dec2.real), time_major(dec2.imag),
-            chan_major(iq.real, n), chan_major(iq.imag, n))
+            chan_major(xr_in, n), chan_major(xi_in, n))
         yr, yi, ndcs, nph, nh1r, nh1i, nh2r, nh2i = outs
 
         def from_chan(a):

@@ -187,3 +187,44 @@ def test_fused_default_spec_is_production_spec():
     spec = ChainSpec(use_pallas=True, spectrum_taps=True,
                      interpolate_out=True)
     assert dataclasses.asdict(spec)["use_pallas"]
+
+
+def test_q15_ingest_fused_matches_unfused_q15():
+    # ADC q15 int16 ingest (Process.cpp:102-111 arm_q15_to_float):
+    # the fused kernel converts on load with the 1/32768 scale folded
+    # into the RF gain; the unfused path converts at ingest.  Both must
+    # match the f32 path fed the same quantized values exactly.
+    ch, blocks = 6, 3
+    iq = _iq(ch, blocks)
+    i16 = np.clip(np.round(iq.real * 32768.0), -32768, 32767).astype(np.int16)
+    q16 = np.clip(np.round(iq.imag * 32768.0), -32768, 32767).astype(np.int16)
+    iq_q = ((i16.astype(np.float32) + 1j * q16.astype(np.float32))
+            / 32768.0).astype(np.complex64)
+    params = _params(ch)
+
+    def stream(spec, data, pair):
+        chain = RxChain(spec)
+        step = jax.jit(chain.block)
+        st = chain.init_state((ch,))
+        for b in range(blocks):
+            sl = slice(b * C.BLOCK_SIZE, (b + 1) * C.BLOCK_SIZE)
+            blk = ((data[0][:, sl], data[1][:, sl]) if pair
+                   else data[:, sl])
+            st, out = step(params, st, blk)
+        return st, out
+
+    st_f32, out_f32 = stream(ChainSpec(mode="usb"), iq_q, False)
+    st_qp, out_qp = stream(ChainSpec(mode="usb", q15_input=True),
+                           (i16, q16), True)
+    st_qf, out_qf = stream(
+        ChainSpec(mode="usb", q15_input=True, use_pallas=True),
+        (i16, q16), True)
+    for k in ("audio", "audio_24k"):
+        np.testing.assert_allclose(np.asarray(out_qp[k]),
+                                   np.asarray(out_f32[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out_qf[k]),
+                                   np.asarray(out_f32[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    _assert_state_close(st_qp, st_f32, rtol=1e-6, atol=1e-7)
+    _assert_state_close(st_qf, st_f32)

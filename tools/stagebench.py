@@ -49,6 +49,9 @@ def main() -> None:
         "pallas_agc_off": dict(use_pallas=True, agc_mode=0),
         "pallas_no_interp": dict(use_pallas=True, interpolate_out=False),
         "pallas_fe_only": dict(use_pallas=True, mode="psk31", interpolate_out=False),
+        "pallas_q15": dict(use_pallas=True, q15_input=True),
+        "pallas_q15_fe_only": dict(use_pallas=True, q15_input=True,
+                                   mode="psk31", interpolate_out=False),
     }
     if args.variants:
         keep = args.variants.split(",")
@@ -96,7 +99,14 @@ def main() -> None:
                 return e
 
             run = creal.cjit(body)
-            blocks = creal.csplit(iq)
+            if spec.q15_input:
+                blocks = (
+                    np.clip(np.round(iq.real * 32768.0), -32768,
+                            32767).astype(np.int16),
+                    np.clip(np.round(iq.imag * 32768.0), -32768,
+                            32767).astype(np.int16))
+            else:
+                blocks = creal.csplit(iq)
             st = creal.csplit(chain.init_state((n_ch,)))
             blocks, st, p = jax.device_put((blocks, st, params))
             jax.block_until_ready((blocks, st, p))
