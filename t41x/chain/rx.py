@@ -383,13 +383,15 @@ class RxChain:
             nr_state, audio = nr_mod.spectral_nr(self.spectral_nr_params,
                                                  nr_state, audio)
         elif spec.nr_mode == 3:
-            nr_state, audio = nr_mod.xanr(self.xanr_params, nr_state, audio)
+            nr_state, audio = nr_mod.xanr(self.xanr_params, nr_state, audio,
+                                          use_pallas=spec.use_pallas)
 
         # --- automatic notch (Process.cpp:862-866) -----------------------
         notch_state = state.notch
         if spec.notch_on:
             notch_state, audio = nr_mod.xanr(self.notch_params, notch_state,
-                                             audio)
+                                             audio,
+                                             use_pallas=spec.use_pallas)
 
         # --- noise blanker (Process.cpp:873-876) -------------------------
         if spec.nb_on:

@@ -310,7 +310,8 @@ def xanr_state(p: XanrParams, channels: tuple[int, ...] = ()) -> XanrState:
     )
 
 
-def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray):
+def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray,
+         use_pallas: bool = False):
     """Variable-leak LMS: x (..., N) real audio -> (state, y).
 
     y is the predictor output (NR mode) or prediction error (notch mode).
@@ -326,6 +327,13 @@ def xanr(p: XanrParams, st: XanrState, x: jnp.ndarray):
     update are elementwise-consistent); the carried `dline` field keeps
     the public newest-first convention.
     """
+    if use_pallas:
+        # whole recurrence in one Pallas program: weights/regressor
+        # buffer VMEM-resident across all N steps (the scan hauls the
+        # (C, taps) weights through HBM every sample)
+        from t41x.kernels.xanr_pallas import xanr_block_pallas
+        return xanr_block_pallas(p, st, x)
+
     T, D = p.taps, p.delay
     N = x.shape[-1]
     # oldest-first history || block: padded[T+D+j] = x[j]

@@ -55,3 +55,29 @@ def test_agc_pallas_matches_scan_path():
                 rtol=1e-6, atol=1e-7, err_msg=f)
     finally:
         agc_pallas.agc_scan_pallas = orig
+
+
+def test_xanr_pallas_matches_scan_path():
+    import jax
+
+    from t41x.dsp import nr as NR
+    from t41x.kernels.xanr_pallas import xanr_block_pallas
+
+    rng = np.random.default_rng(9)
+    ch, n = 7, 256   # not a whole (8, 128) tile
+    x = rng.standard_normal((ch, n)).astype(np.float32) * 0.2
+    for notch in (False, True):
+        p = NR.XanrParams(notch=notch)
+        st_s = jax.tree.map(jnp.asarray, NR.xanr_state(p, (ch,)))
+        st_p = st_s
+        for _ in range(3):  # carry crosses block boundaries
+            st_s, y_s = NR.xanr(p, st_s, jnp.asarray(x))
+            st_p, y_p = xanr_block_pallas(p, st_p, jnp.asarray(x),
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"notch={notch}")
+        for f in st_s._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+                rtol=1e-5, atol=1e-6, err_msg=f"{f} notch={notch}")

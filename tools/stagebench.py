@@ -49,6 +49,7 @@ def main() -> None:
         "pallas_agc_off": dict(use_pallas=True, agc_mode=0),
         "pallas_no_interp": dict(use_pallas=True, interpolate_out=False),
         "pallas_fe_only": dict(use_pallas=True, mode="psk31", interpolate_out=False),
+        "pallas_nr_lms": dict(use_pallas=True, nr_mode=3),
         "pallas_q15": dict(use_pallas=True, q15_input=True),
         "pallas_q15_fe_only": dict(use_pallas=True, q15_input=True,
                                    mode="psk31", interpolate_out=False),
