@@ -348,15 +348,30 @@ class RxChain:
                 am_bq, audio = am_mod.am_demod(am_bq, y, self.am_op)
             else:  # sam
                 sam_state, audio, carrier = sam_mod.sam_demod(
-                    self.sam_params, sam_state, y)
+                    self.sam_params, sam_state, y,
+                    use_pallas=spec.use_pallas)
                 outputs["sam_carrier_hz"] = carrier
         elif spec.mode == "nfm":
             nfm_last, audio = nfm_mod.nfm_demod(nfm_last, x)
             # post-demod audio shaping: OS filter + AGC on the real audio
             # (Process.cpp:765-816)
-            osf, y, spectrum = osfilter.os_filter(
-                osf, audio.astype(jnp.complex64), jnp.asarray(self.mask),
-                return_spectrum=True)
+            ac = audio.astype(jnp.complex64)
+            if spec.use_matmul_osfilter and spec.spectrum_taps:
+                osf, y, spectrum = osfilter.os_filter_matmul_spectrum(
+                    osf, ac, jnp.asarray(self.os_F), jnp.asarray(self.os_W2),
+                    jnp.asarray(self.os_mask_sq))
+            elif spec.use_matmul_osfilter:
+                if spec.use_pallas:
+                    from t41x.kernels import os_filter_matmul_pallas
+                    osf, y = os_filter_matmul_pallas(
+                        osf, ac, jnp.asarray(self.os_W))
+                else:
+                    osf, y = osfilter.os_filter_matmul(
+                        osf, ac, jnp.asarray(self.os_W))
+                spectrum = None
+            else:
+                osf, y, spectrum = osfilter.os_filter(
+                    osf, ac, jnp.asarray(self.mask), return_spectrum=True)
             agc_state, y = agc_mod.agc_apply(self.agc_params, agc_state, y,
                                              use_pallas=spec.use_pallas)
             audio = y.real

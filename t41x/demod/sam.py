@@ -67,46 +67,79 @@ def sam_state(channels: tuple[int, ...] = ()) -> SAMState:
     return SAMState(z(), z(), z(), z(), z())
 
 
-def sam_demod(params: SAMParams, st: SAMState, y: jnp.ndarray):
+# atan(sqrt(u))/sqrt(u) on u in [0, 1] as a Chebyshev series: gives a
+# ~1e-7-rad atan2 built only from Mosaic-supported primitives (the
+# reference itself uses a far coarser polynomial, ApproxAtan2
+# Demod.cpp:148; XLA's atan2 is not lowerable inside Pallas TPU
+# kernels, and using one formulation everywhere keeps the scan and
+# kernel paths bit-identical)
+_ATAN_COEF = np.polynomial.chebyshev.Chebyshev.interpolate(
+    lambda u: np.arctan(np.sqrt(np.maximum(u, 1e-30)))
+    / np.sqrt(np.maximum(u, 1e-30)), 14, domain=[0.0, 1.0]
+).convert(kind=np.polynomial.Polynomial).coef.astype(np.float32)
+
+
+def atan2_poly(y, x):
+    """Four-quadrant arctangent, |err| ~ 1e-7 rad, branchless."""
+    ay, ax = jnp.abs(y), jnp.abs(x)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)          # in [0, 1]
+    u = z * z
+    acc = jnp.float32(_ATAN_COEF[-1])
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    t = z * acc                               # atan(z)
+    t = jnp.where(ay > ax, jnp.float32(np.pi / 2) - t, t)
+    t = jnp.where(x < 0, jnp.float32(np.pi) - t, t)
+    return jnp.where(y < 0, -t, t)
+
+
+def sam_step(p: SAMParams, carry, i, q):
+    """One PLL sample update on arbitrarily-shaped channel tiles; shared
+    by the lax.scan path and the Pallas kernel
+    (`t41x/kernels/sam_pallas.py`)."""
+    phz0, fil, om2, dc, dci = carry
+    s, co = jnp.sin(phz0), jnp.cos(phz0)
+    ai, bi = co * i, s * i
+    aq, bq = co * q, s * q
+    corr_re = ai + bq
+    corr_im = -bi + aq
+    audio = (ai - bi) + (aq + bq)
+    if p.fade_leveler:
+        dc = p.mtauR * dc + p.onem_mtauR * audio
+        dci = p.mtauI * dci + p.onem_mtauI * corr_re
+        audio = audio + dci - dc
+    det = atan2_poly(corr_im, corr_re)
+    del_out = fil
+    om2 = jnp.clip(om2 + p.g2 * det, p.omega_min, p.omega_max)
+    fil = p.g1 * det + om2
+    phz = jnp.mod(phz0 + del_out, 2.0 * jnp.pi)
+    return (phz, fil, om2, dc, dci), audio
+
+
+def sam_demod(params: SAMParams, st: SAMState, y: jnp.ndarray,
+              use_pallas: bool = False):
     """y: (..., N) complex filtered baseband.
     Returns (new_state, audio, carrier_offset_hz)."""
     p = params
 
-    class Carry(NamedTuple):
-        phz: jnp.ndarray
-        fil: jnp.ndarray
-        om2: jnp.ndarray
-        dc: jnp.ndarray
-        dci: jnp.ndarray
-
     # fade-leveler accumulators carried across blocks (the reference
     # declares them function-local, but its integer-division tau bug
     # freezes them anyway — carrying is the intended WDSP behavior)
-    carry0 = Carry(st.phzerror, st.fil_out, st.omega2, st.dc, st.dc_insert)
+    if use_pallas:
+        from t41x.kernels.sam_pallas import sam_block_pallas
+        new_st, audio = sam_block_pallas(p, st, y)
+        carrier_hz = new_st.omega2 * C.AUDIO_RATE / (2.0 * jnp.pi)
+        return new_st, audio, carrier_hz
 
-    def step(c: Carry, zn):
-        s, co = jnp.sin(c.phz), jnp.cos(c.phz)
-        i, q = zn.real, zn.imag
-        ai, bi = co * i, s * i
-        aq, bq = co * q, s * q
-        corr_re = ai + bq
-        corr_im = -bi + aq
-        audio = (ai - bi) + (aq + bq)
-        if p.fade_leveler:
-            dc = p.mtauR * c.dc + p.onem_mtauR * audio
-            dci = p.mtauI * c.dci + p.onem_mtauI * corr_re
-            audio = audio + dci - dc
-        else:
-            dc, dci = c.dc, c.dci
-        det = jnp.arctan2(corr_im, corr_re)
-        del_out = c.fil
-        om2 = jnp.clip(c.om2 + p.g2 * det, p.omega_min, p.omega_max)
-        fil = p.g1 * det + om2
-        phz = jnp.mod(c.phz + del_out, 2.0 * jnp.pi)
-        return Carry(phz, fil, om2, dc, dci), audio
+    carry0 = (st.phzerror, st.fil_out, st.omega2, st.dc, st.dc_insert)
+
+    def step(c, zn):
+        return sam_step(p, c, zn.real, zn.imag)
 
     ys = jnp.moveaxis(y, -1, 0)
     cf, audio = jax.lax.scan(step, carry0, ys)
     audio = jnp.moveaxis(audio, 0, -1)
-    carrier_hz = cf.om2 * C.AUDIO_RATE / (2.0 * jnp.pi)
-    return SAMState(cf.phz, cf.fil, cf.om2, cf.dc, cf.dci), audio, carrier_hz
+    carrier_hz = cf[2] * C.AUDIO_RATE / (2.0 * jnp.pi)
+    return SAMState(*cf), audio, carrier_hz

@@ -81,3 +81,35 @@ def test_xanr_pallas_matches_scan_path():
             np.testing.assert_allclose(
                 np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
                 rtol=1e-5, atol=1e-6, err_msg=f"{f} notch={notch}")
+
+
+def test_sam_pallas_matches_scan_path():
+    import jax
+
+    from t41x.demod import sam as S
+    from t41x.kernels.sam_pallas import sam_block_pallas
+
+    rng = np.random.default_rng(13)
+    ch, n = 9, 256
+    p = S.sam_params()
+    t = np.arange(3 * n) / 24000.0
+    carrier = np.exp(2j * np.pi * 120.0 * t) * (1.0 + 0.4 * np.cos(
+        2 * np.pi * 400.0 * t))
+    y = (carrier[None] * (0.5 + 0.5 * rng.random((ch, 1)))
+         + 0.01 * (rng.standard_normal((ch, 3 * n))
+                   + 1j * rng.standard_normal((ch, 3 * n)))
+         ).astype(np.complex64)
+    st_s = jax.tree.map(jnp.asarray, S.sam_state((ch,)))
+    st_p = st_s
+    for b in range(3):
+        blk = jnp.asarray(y[:, b * n:(b + 1) * n])
+        st_s, a_s, c_s = S.sam_demod(p, st_s, blk)
+        st_p, a_p, c_p = S.sam_demod(p, st_p, blk, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_s),
+                               rtol=1e-5, atol=1e-4)
+    for f in st_s._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+            rtol=1e-5, atol=1e-5, err_msg=f)

@@ -50,6 +50,13 @@ def main() -> None:
         "pallas_no_interp": dict(use_pallas=True, interpolate_out=False),
         "pallas_fe_only": dict(use_pallas=True, mode="psk31", interpolate_out=False),
         "pallas_nr_lms": dict(use_pallas=True, nr_mode=3),
+        "pallas_sam": dict(use_pallas=True, mode="sam"),
+        "pallas_nfm": dict(use_pallas=True, mode="nfm"),
+        "pallas_nr_spectral": dict(use_pallas=True, nr_mode=2),
+        "pallas_nr_kim": dict(use_pallas=True, nr_mode=1),
+        "pallas_notch": dict(use_pallas=True, notch_on=True),
+        "pallas_eq": dict(use_pallas=True, eq_on=True),
+        "pallas_cw": dict(use_pallas=True, mode="cw"),
         "pallas_q15": dict(use_pallas=True, q15_input=True),
         "pallas_q15_fe_only": dict(use_pallas=True, q15_input=True,
                                    mode="psk31", interpolate_out=False),
