@@ -96,25 +96,35 @@ def kim_params(f_lo: float = 200.0, f_hi: float = 3000.0,
 class KimState(NamedTuple):
     last_sample: jnp.ndarray   # (..., 128) input history
     last_ifft: jnp.ndarray     # (..., 128) overlap-add tail
-    X: jnp.ndarray             # (..., 128, 3) power history (newest last)
-    E: jnp.ndarray             # (..., 128, 15) 3-frame-avg history
+    X: jnp.ndarray             # (..., 128, 3) power ring (order-free)
+    E: jnp.ndarray             # (..., 128, 15) 3-frame-avg ring
     Gts: jnp.ndarray           # (..., 128) time-smoothed gain
+    idx: jnp.ndarray           # (...,) int32 frame counter (ring cursor)
 
 
 def kim_state(channels: tuple[int, ...] = ()) -> KimState:
     z = lambda *s: np.zeros(channels + s, np.float32)  # noqa: E731
-    return KimState(z(HOP), z(HOP), z(HOP, 3), z(HOP, 15), z(HOP))
+    return KimState(z(HOP), z(HOP), z(HOP, 3), z(HOP, 15), z(HOP),
+                    np.zeros(channels, np.int32))
 
 
-def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
-    """One 128-sample hop of the Kim NR."""
-    frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
-    spec = mxu_fft.fft(frame * window, axis=-1)
-    power = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
+def _kim_gain(p: KimParams, gst, power):
+    """Per-hop gain update: (X, E, Gts, idx) x bin powers -> full gain.
 
-    X = jnp.concatenate([st.X[..., 1:], power[..., None]], axis=-1)
+    The X/E histories are RINGS, not shift registers: every consumer
+    (mean, min) is permutation-invariant, so overwriting the oldest slot
+    in place is sample-exact vs the reference's shifting
+    (Noise.cpp:19-32) while avoiding two full-history rewrites per hop
+    (the (C, 128, 15) shift-concat alone was ~31 MB/block of HBM traffic
+    at 1024 channels).  All channels advance in lockstep, so one scalar
+    cursor drives the dynamic-slice write."""
+    X0, E0, Gts0, idx = gst
+    cursor = idx.reshape(-1)[0]
+    X = jax.lax.dynamic_update_index_in_dim(
+        X0, power, jnp.mod(cursor, 3), axis=-1)
     E_new = jnp.mean(X, axis=-1)
-    E = jnp.concatenate([st.E[..., 1:], E_new[..., None]], axis=-1)
+    E = jax.lax.dynamic_update_index_in_dim(
+        E0, E_new, jnp.mod(cursor, 15), axis=-1)
     M = jnp.min(E, axis=-1)
 
     T = power / jnp.maximum(M, 1e-30)
@@ -127,7 +137,7 @@ def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
     in_band = (bins >= p.vad_low) & (bins < p.vad_high)
     G = jnp.where(in_band, G, 0.0)
 
-    Gts = p.alpha * st.Gts + (1.0 - p.alpha) * G
+    Gts = p.alpha * Gts0 + (1.0 - p.alpha) * G
 
     # 3-bin frequency smoothing with edge handling (Noise.cpp:258-263)
     b, omb = p.beta, 1.0 - 2.0 * p.beta
@@ -136,17 +146,34 @@ def _kim_frame(p: KimParams, st: KimState, hop_samples, window):
     Gs = b * left + omb * Gts + b * right
 
     full_gain = jnp.concatenate([Gs, Gs[..., ::-1]], axis=-1)
-    out = mxu_fft.ifft(spec * full_gain, axis=-1).real
-    audio = out[..., :HOP] + st.last_ifft
-    return KimState(hop_samples, out[..., HOP:], X, E, Gts), audio
+    return (X, E, Gts, idx + 1), full_gain
 
 
 def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
-    """x: (..., 256) audio block at 24 kHz.  Returns (state, y)."""
+    """x: (..., 256) audio block at 24 kHz.  Returns (state, y).
+
+    Latency structure: the two overlapped hops' FORWARD transforms
+    depend only on input samples (hop 2's frame IS the block), so both
+    run as one batched matmul-DFT; the per-bin gain recursions chain
+    sequentially (cheap VPU work); both INVERSE transforms batch again.
+    Chaining fft->gain->ifft->fft->... per hop instead costs a
+    dependent-matmul latency chain ~2x longer per block (measured +134
+    -> +60 us at 1024 channels)."""
     window = jnp.asarray(_hann())
-    st, a0 = _kim_frame(p, st, x[..., :HOP], window)
-    st, a1 = _kim_frame(p, st, x[..., HOP:], window)
-    return st, jnp.concatenate([a0, a1], axis=-1) * p.post_gain
+    frame0 = jnp.concatenate([st.last_sample, x[..., :HOP]], axis=-1)
+    frames = jnp.stack([frame0 * window, x * window], axis=0)
+    sr, si = mxu_fft.rdft_pair(frames)
+    powers = (sr ** 2 + si ** 2)[..., :HOP]
+
+    gst, fg0 = _kim_gain(p, (st.X, st.E, st.Gts, st.idx), powers[0])
+    (X, E, Gts, idx), fg1 = _kim_gain(p, gst, powers[1])
+
+    fg = jnp.stack([fg0, fg1], axis=0)
+    outs = mxu_fft.irdft_real(sr * fg, si * fg)
+    a0 = outs[0][..., :HOP] + st.last_ifft
+    a1 = outs[1][..., :HOP] + outs[0][..., HOP:]
+    new_st = KimState(x[..., HOP:], outs[1][..., HOP:], X, E, Gts, idx)
+    return new_st, jnp.concatenate([a0, a1], axis=-1) * p.post_gain
 
 
 # ----------------------------------------------------------------------
@@ -192,8 +219,10 @@ def spectral_state(channels: tuple[int, ...] = ()) -> SpectralState:
                          np.zeros(channels, np.int32))
 
 
-def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
-                    window):
+def _spectral_gain(p: SpectralParams, gst, X):
+    """Per-hop gain update: (xt, pslp, hk_old, frames) x bin powers ->
+    (state', full_gain, initializing)."""
+    xt_c, pslp_c, hk_old_c, frames_c = gst
     ax = np.exp(-p.tinc / p.tax)
     ap = np.exp(-p.tinc / p.tap)
     xih1 = 10.0 ** (p.asnr_db / 10.0)
@@ -201,28 +230,24 @@ def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
     pfac = (1.0 / p.pspri - 1.0) * (1.0 + xih1)
     snr_prio_min = 10.0 ** (p.snr_prio_min_db / 20.0)
 
-    frame = jnp.concatenate([st.last_sample, hop_samples], axis=-1)
-    spec = mxu_fft.fft(frame * window, axis=-1)
-    X = (spec.real ** 2 + spec.imag ** 2)[..., :HOP]
-
-    initializing = st.frames[..., None] < p.init_frames
+    initializing = frames_c[..., None] < p.init_frames
     # init phase: accumulate noise estimate over the first frames
-    xt_init = st.xt + 0.05 * p.psini * X
+    xt_init = xt_c + 0.05 * p.psini * X
 
     # running phase: speech-presence-probability noise tracking
     ph1y = 1.0 / (1.0 + pfac * jnp.exp(
-        jnp.clip(xih1r * X / jnp.maximum(st.xt, 1e-30), -50.0, 50.0)))
-    pslp = ap * st.pslp + (1.0 - ap) * ph1y
+        jnp.clip(xih1r * X / jnp.maximum(xt_c, 1e-30), -50.0, 50.0)))
+    pslp = ap * pslp_c + (1.0 - ap) * ph1y
     ph1y = jnp.where(pslp > p.psthr, 1.0 - p.pnsaf, jnp.minimum(ph1y, 1.0))
-    xtr = (1.0 - ph1y) * X + ph1y * st.xt
-    xt_run = ax * st.xt + (1.0 - ax) * xtr
+    xtr = (1.0 - ph1y) * X + ph1y * xt_c
+    xt_run = ax * xt_c + (1.0 - ax) * xtr
 
     xt = jnp.where(initializing, xt_init, xt_run)
-    pslp = jnp.where(initializing, st.pslp, pslp)
+    pslp = jnp.where(initializing, pslp_c, pslp)
 
     snr_post = jnp.clip(X / jnp.maximum(xt, 1e-30), snr_prio_min, 1000.0)
     snr_prio = jnp.maximum(
-        p.alpha * st.hk_old + (1.0 - p.alpha) * jnp.maximum(snr_post - 1.0, 0.0),
+        p.alpha * hk_old_c + (1.0 - p.alpha) * jnp.maximum(snr_post - 1.0, 0.0),
         0.0)
 
     v = snr_prio * snr_post / (1.0 + snr_prio)
@@ -239,41 +264,61 @@ def _spectral_frame(p: SpectralParams, st: SpectralState, hop_samples,
     nn_f = jnp.where(ratio > p.power_threshold, 0.0,
                      jnp.round(p.width * (1.0 - ratio / p.power_threshold)))
 
-    # NN in {1,3,5,7,9}: select among box-filtered versions of G
-    def smooth(g, nn):
-        pad = nn // 2
-        gp = jnp.concatenate(
-            [jnp.repeat(g[..., :1], pad, -1), g,
-             jnp.repeat(g[..., -1:], pad, -1)], axis=-1)
-        c = jnp.cumsum(gp, axis=-1)
-        zero = jnp.zeros_like(c[..., :1])
-        c = jnp.concatenate([zero, c], axis=-1)
-        return (c[..., nn:] - c[..., :-nn]) / nn
+    # NN in {1,3,5,7,9}: select among box-filtered versions of G.  All
+    # five widths come from ONE edge-padded cumsum (a width-nn centered
+    # box over edge-replicated g is a cumsum difference; padding by 4
+    # everywhere leaves the clamped edge values identical per width).
+    gp = jnp.concatenate(
+        [jnp.repeat(G[..., :1], 4, -1), G,
+         jnp.repeat(G[..., -1:], 4, -1)], axis=-1)
+    c = jnp.cumsum(gp, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
 
-    G1, G3, G5, G7, G9 = (smooth(G, nn) for nn in (1, 3, 5, 7, 9))
+    def box(nn):
+        off = 4 - nn // 2
+        return (c[..., off + nn: off + nn + HOP] - c[..., off: off + HOP]
+                ) / nn
+
+    G3, G5, G7, G9 = (box(nn) for nn in (3, 5, 7, 9))
     nn_idx = jnp.clip(nn_f, 0, 4).astype(jnp.int32)[..., None]
-    G_sm = jnp.select(
-        [nn_idx == 0, nn_idx == 1, nn_idx == 2, nn_idx == 3],
-        [G1, G3, G5, G7], G9)
+    G_sm = jnp.where(
+        nn_idx == 0, G, jnp.where(
+            nn_idx == 1, G3, jnp.where(
+                nn_idx == 2, G5, jnp.where(nn_idx == 3, G7, G9))))
     G = jnp.where(in_band, G_sm, G)
 
     full_gain = jnp.concatenate([G, G[..., ::-1]], axis=-1)
-    out = mxu_fft.ifft(spec * full_gain, axis=-1).real * window
-    audio = out[..., :HOP] + st.last_ifft
-    # during init, pass audio through untouched
-    audio = jnp.where(initializing, hop_samples, audio)
-
-    ns = SpectralState(hop_samples, out[..., HOP:], xt, pslp, hk_old,
-                       st.frames + 1)
-    return ns, audio
+    return (xt, pslp, hk_old, frames_c + 1), full_gain, initializing
 
 
 def spectral_nr(p: SpectralParams, st: SpectralState, x: jnp.ndarray):
-    """x: (..., 256) audio block.  Returns (state, y)."""
+    """x: (..., 256) audio block.  Returns (state, y).
+
+    Same latency structure as `kim_nr`: both hops' forward transforms
+    batch into one matmul-DFT (hop 2's frame is the block itself), the
+    per-bin gain recursions chain sequentially, and both inverse
+    transforms batch again."""
     window = jnp.asarray(_sqrt_hann())
-    st, a0 = _spectral_frame(p, st, x[..., :HOP], window)
-    st, a1 = _spectral_frame(p, st, x[..., HOP:], window)
-    return st, jnp.concatenate([a0, a1], axis=-1)
+    frame0 = jnp.concatenate([st.last_sample, x[..., :HOP]], axis=-1)
+    frames = jnp.stack([frame0 * window, x * window], axis=0)
+    sr, si = mxu_fft.rdft_pair(frames)
+    powers = (sr ** 2 + si ** 2)[..., :HOP]
+
+    gst, fg0, init0 = _spectral_gain(
+        p, (st.xt, st.pslp, st.hk_old, st.frames), powers[0])
+    (xt, pslp, hk_old, frames_n), fg1, init1 = _spectral_gain(
+        p, gst, powers[1])
+
+    fg = jnp.stack([fg0, fg1], axis=0)
+    outs = mxu_fft.irdft_real(sr * fg, si * fg) * window
+    a0 = outs[0][..., :HOP] + st.last_ifft
+    a1 = outs[1][..., :HOP] + outs[0][..., HOP:]
+    # during init, pass audio through untouched
+    a0 = jnp.where(init0, x[..., :HOP], a0)
+    a1 = jnp.where(init1, x[..., HOP:], a1)
+    new_st = SpectralState(x[..., HOP:], outs[1][..., HOP:], xt, pslp,
+                           hk_old, frames_n)
+    return new_st, jnp.concatenate([a0, a1], axis=-1)
 
 
 # ----------------------------------------------------------------------

@@ -103,6 +103,39 @@ def ifft(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.fft.ifft(x, axis=-1)
 
 
+@functools.lru_cache(maxsize=8)
+def _rdft_mats(n: int):
+    """Dense real DFT matrices: COS[t,k] = cos(2 pi t k / n), SIN
+    likewise (both symmetric, so forward and inverse share them)."""
+    ang = 2.0 * np.pi * np.outer(np.arange(n), np.arange(n)) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def rdft_pair(x: jnp.ndarray):
+    """Full-length DFT of REAL input as two dense real matmuls.
+
+    For small fixed n batched over many channels this is the
+    MXU-shaped formulation: one (batch, n) x (n, n) matmul per
+    component, vs the four-step path whose 16x16 factor matmuls
+    utilize ~2% of the systolic array and, composed inside a larger
+    graph, dominate the NR stages' cost.  Returns (Xr, Xi) with
+    np.fft.fft semantics (all n bins)."""
+    n = x.shape[-1]
+    cos_m, sin_m = _rdft_mats(n)
+    xr = jnp.matmul(x, jnp.asarray(cos_m), precision=_PREC)
+    xi = -jnp.matmul(x, jnp.asarray(sin_m), precision=_PREC)
+    return xr, xi
+
+
+def irdft_real(xr: jnp.ndarray, xi: jnp.ndarray):
+    """Real part of the inverse DFT of (Xr, Xi) — exact when the
+    spectrum is conjugate-symmetric (real filter gains)."""
+    n = xr.shape[-1]
+    cos_m, sin_m = _rdft_mats(n)
+    return (jnp.matmul(xr, jnp.asarray(cos_m), precision=_PREC)
+            - jnp.matmul(xi, jnp.asarray(sin_m), precision=_PREC)) / n
+
+
 def rfft(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
     """Real-input DFT, first n//2+1 bins (np.fft.rfft semantics)."""
     assert axis in (-1, x.ndim - 1), "mxu_fft supports last-axis only"
