@@ -165,6 +165,13 @@ def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
     sr, si = mxu_fft.rdft_pair(frames)
     powers = (sr ** 2 + si ** 2)[..., :HOP]
 
+    # NOTE lockstep invariant: _kim_gain drives its ring cursor from
+    # channel 0's counter only — valid because every channel of a batch
+    # advances one hop per call.  Do NOT merge per-channel states that
+    # were stepped different numbers of times (e.g. restoring channels
+    # from different checkpoints); re-init the Kim state instead.  The
+    # ring consumers (mean/min) are order-free, so a common cursor of
+    # any value is safe, only cross-channel divergence is not.
     gst, fg0 = _kim_gain(p, (st.X, st.E, st.Gts, st.idx), powers[0])
     (X, E, Gts, idx), fg1 = _kim_gain(p, gst, powers[1])
 

@@ -201,6 +201,13 @@ def agc_block_pallas(p, st, x, *, interpret=None):
         interpret = _auto_interpret()
     n = x.shape[-1]
     b = p.attack_buffsize
+    if n < b:
+        # the delayed-output slices and `x[..., n-b:]` ring rebuild below
+        # assume at least one full delay line of new samples; agc_apply
+        # routes shorter blocks to the scan path instead
+        raise ValueError(
+            f"agc_block_pallas needs N >= attack_buffsize ({n} < {b}); "
+            "use agc_apply / agc_scan_pallas for short blocks")
     ch_shape = x.shape[:-1]
     c = 1
     for d in ch_shape:

@@ -56,6 +56,12 @@ def load_state(path: str, template):
         paths = [("s:" + _path_str(kp)) for kp, _ in leaves_t[0]]
         new_leaves = []
         for key, (kp, leaf) in zip(paths, leaves_t[0]):
+            if key not in z:
+                # forward compatibility: a state field added after the
+                # checkpoint was written (e.g. KimState.idx) falls back
+                # to the template's init value instead of a KeyError
+                new_leaves.append(np.asarray(leaf))
+                continue
             arr = z[key]
             expect = np.asarray(leaf)
             if arr.shape != expect.shape:

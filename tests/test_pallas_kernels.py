@@ -23,11 +23,13 @@ def test_os_filter_pallas_matches_matmul_path():
     np.testing.assert_array_equal(np.asarray(sp), np.asarray(s2))
 
 
-def test_agc_pallas_matches_scan_path():
+def test_agc_block_pallas_matches_scan_path():
+    """The whole-block AGC kernel (prework + recurrence + gain fused) —
+    the production path agc_apply takes when N >= attack_buffsize."""
     import jax
 
     from t41x.dsp import agc as A
-    from t41x.kernels import agc_pallas
+    from t41x.kernels.agc_pallas import agc_block_pallas
 
     p = A.agc_params(2)
     rng = np.random.default_rng(7)
@@ -36,25 +38,58 @@ def test_agc_pallas_matches_scan_path():
     x = (rng.standard_normal((ch, n))
          + 1j * rng.standard_normal((ch, n))).astype(np.complex64)
 
-    # route the pallas path through the interpreter for CPU testing
-    orig = agc_pallas.agc_scan_pallas
-    agc_pallas.agc_scan_pallas = (
-        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-    try:
-        st_s, y_s = st, None
-        st_p, y_p = st, None
-        for _ in range(3):  # stream several blocks to exercise the carry
-            st_s, y_s = A.agc_apply(p, st_s, jnp.asarray(x))
-            st_p, y_p = A.agc_apply(p, st_p, jnp.asarray(x),
-                                    use_pallas=True)
-        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
-                                   rtol=1e-6, atol=1e-7)
-        for f in st_s._fields:
-            np.testing.assert_allclose(
-                np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
-                rtol=1e-6, atol=1e-7, err_msg=f)
-    finally:
-        agc_pallas.agc_scan_pallas = orig
+    st_s = st_p = st
+    for _ in range(3):  # stream several blocks to exercise the carry
+        st_s, y_s = A.agc_apply(p, st_s, jnp.asarray(x))
+        st_p, y_p = agc_block_pallas(p, st_p, jnp.asarray(x),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                               rtol=1e-6, atol=1e-7)
+    for f in st_s._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f)
+
+
+def test_agc_block_pallas_rejects_short_blocks():
+    import jax
+    import pytest
+
+    from t41x.dsp import agc as A
+    from t41x.kernels.agc_pallas import agc_block_pallas
+
+    p = A.agc_params(2)
+    st = jax.tree.map(jnp.asarray, A.agc_state(p, (2,)))
+    x = jnp.zeros((2, p.attack_buffsize // 2), jnp.complex64)
+    with pytest.raises(ValueError, match="attack_buffsize"):
+        agc_block_pallas(p, st, x, interpret=True)
+
+
+def test_agc_scan_pallas_short_block_path():
+    """N < attack_buffsize routes agc_apply(use_pallas=True) through the
+    recurrence-only kernel (agc_scan_pallas) — keep it covered."""
+    import jax
+
+    from t41x.dsp import agc as A
+
+    p = A.agc_params(2)
+    assert p.attack_buffsize > 64
+    rng = np.random.default_rng(11)
+    ch, n = 5, 64    # n < attack_buffsize=96 -> scan-pallas branch
+    st = jax.tree.map(jnp.asarray, A.agc_state(p, (ch,)))
+    x = (rng.standard_normal((ch, n))
+         + 1j * rng.standard_normal((ch, n))).astype(np.complex64)
+
+    st_s = st_p = st
+    for _ in range(4):
+        st_s, y_s = A.agc_apply(p, st_s, jnp.asarray(x))
+        st_p, y_p = A.agc_apply(p, st_p, jnp.asarray(x), use_pallas=True)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                               rtol=1e-6, atol=1e-7)
+    for f in st_s._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f)
 
 
 def test_xanr_pallas_matches_scan_path():

@@ -95,3 +95,28 @@ def test_stage_timer():
     r = t.report()
     assert r["a"]["count"] == 2
     assert 5 < r["a"]["mean_ms"] < 100
+
+
+def test_checkpoint_forward_compat_missing_field(tmp_path):
+    """A checkpoint written before a state field existed loads with the
+    template's init value for that field (e.g. KimState.idx added in r3)."""
+    import numpy as np
+
+    from t41x.dsp import nr as nr_mod
+
+    st = nr_mod.kim_state((2,))
+    path = str(tmp_path / "old.npz")
+    checkpoint.save_state(path, st, extra={"v": 1})
+    # simulate an older format: drop the idx leaf from the archive
+    z = dict(np.load(path))
+    z.pop("s:nr/idx", None)
+    removed = [k for k in list(z) if k.endswith("/idx") or k == "s:idx"]
+    for k in removed:
+        z.pop(k)
+    np.savez_compressed(path, **z)
+
+    loaded, meta = checkpoint.load_state(path, st)
+    assert meta == {"v": 1}
+    np.testing.assert_array_equal(np.asarray(loaded.idx),
+                                  np.asarray(st.idx))
+    np.testing.assert_array_equal(np.asarray(loaded.E), np.asarray(st.E))
