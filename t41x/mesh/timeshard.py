@@ -111,11 +111,14 @@ def _dc_affine_terms(b: np.ndarray, a: np.ndarray, n_seg: int):
             An[n_seg].astype(np.float32))
 
 
-def sharded_frontend_full(chain, params, axis_name: str = "t"):
+def sharded_frontend_full(chain, axis_name: str = "t",
+                          vary_axes: tuple[str, ...] | None = None):
     """Per-shard FULL front end for `shard_map` over a `t` mesh axis:
     RF gain, DC-block biquad (exact via affine state composition), IQ
     correction, Fs/4 + NCO with globally coherent phase, x4+x2 halo
-    decimation.  seg: (..., N_seg) complex at the RF rate ->
+    decimation.  fn(seg, fe_params) with seg (..., N_seg) complex at the
+    RF rate and fe_params = (gain, iq_amp, iq_phase, nco_freq) channel
+    arrays (sharded over the channel mesh axis when there is one) ->
     (..., N_seg/8) complex at the audio rate, matching the streamed
     chain's pre-`_post_frontend` signal.
     """
@@ -125,10 +128,10 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
     spec = chain.spec
     h1 = jnp.asarray(chain.h1)
     h2 = jnp.asarray(chain.h2)
-    p = jax.tree.map(np.asarray, params)
-    g_np = (10.0 ** (p.rf_gain_db / 20.0) * p.band_gain).astype(np.float32)
+    vary = vary_axes if vary_axes is not None else (axis_name,)
 
-    def fn(seg):
+    def fn(seg, fe_params):
+        g, iq_amp, iq_phase, nco_freq = fe_params
         n = seg.shape[-1]
         assert n % (4 * C.DF) == 0, n
         R, AN = _dc_affine_terms(chain.dc_b[0], chain.dc_a[0], n)
@@ -136,7 +139,7 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
         offset = idx * n
 
         # RF gain (Process.cpp:117-134)
-        x = seg * jnp.asarray(g_np)[..., None]
+        x = seg * g[..., None]
 
         # DC-block biquad, exact across shards: zero-state local run +
         # affine composition of the tiny (2,) per-stage states
@@ -144,7 +147,7 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
         # mark the constant zero state as device-varying so shard_map's
         # vma typing accepts it as a scan carry alongside varying data
         zeros_st = jax.lax.pcast(
-            jnp.zeros(xi.shape[:-1] + (1, 2), xi.dtype), (axis_name,),
+            jnp.zeros(xi.shape[:-1] + (1, 2), xi.dtype), vary,
             to="varying")
         st_z, y_z = chain.dc_op.apply(zeros_st, xi)
         z_all = jax.lax.all_gather(st_z, axis_name)        # (S, ..., 2, 1, 2)
@@ -160,8 +163,7 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
                              jnp.asarray(R))
 
         x = rx_mod.iq_correction(y[..., 0, :], y[..., 1, :],
-                                 jnp.asarray(p.iq_amp),
-                                 jnp.asarray(p.iq_phase))
+                                 iq_amp, iq_phase)
 
         # Fs/4 with global phase: j^(offset) rotates the local pattern
         base = jnp.tile(jnp.array([1, 1j, -1, -1j], jnp.complex64), n // 4)
@@ -169,10 +171,10 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
         x = x * (base * rot)
 
         # NCO with the global sample offset folded into the start phase
-        w = nco.nco_phase_inc(jnp.asarray(p.nco_freq, jnp.float32),
+        w = nco.nco_phase_inc(jnp.asarray(nco_freq, jnp.float32),
                               spec.sample_rate)
         phase0 = jnp.mod(w * offset.astype(jnp.float32), 2.0 * jnp.pi)
-        _, x = nco.nco_mix(phase0, x, jnp.asarray(p.nco_freq),
+        _, x = nco.nco_mix(phase0, x, jnp.asarray(nco_freq),
                            spec.sample_rate)
 
         x = halo.sharded_fir_decimate(x, h1, C.DF1, axis_name)
@@ -182,7 +184,8 @@ def sharded_frontend_full(chain, params, axis_name: str = "t"):
 
 
 def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
-                          axis_name: str = "t"):
+                          axis_name: str = "t",
+                          channel_axis: str | None = None):
     """Run the FULL RX chain over an offline capture, time-sharded.
 
     Pass 1 (sharded over `t`): the LTI front end — all the 192 kHz-rate
@@ -194,7 +197,10 @@ def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
     result matches the streamed chain.
 
     iq: (..., N) complex at the RF rate, N divisible by
-    n_shards * BLOCK_SIZE; leading dims are channels.
+    n_shards * BLOCK_SIZE; leading dims are channels.  With
+    `channel_axis` set (a second mesh axis name), the LEADING channel
+    dim is additionally sharded over that axis — the full ch x t mesh —
+    and per-channel params ride the same sharding.
     Returns the same outputs dict as `RxChain.run` (display zoom taps are
     unavailable: configure `spectrum_zoom=-1`).
     """
@@ -211,11 +217,27 @@ def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
     n = iq.shape[-1]
     assert n % (n_t * C.BLOCK_SIZE) == 0, (n, n_t)
 
-    fe = sharded_frontend_full(chain, params, axis_name)
-    seg_spec = P(*([None] * len(ch)), axis_name)
-    fe_sh = jax.jit(jax.shard_map(fe, mesh=mesh, in_specs=seg_spec,
+    p = params
+    fe_params = ((10.0 ** (p.rf_gain_db / 20.0) * p.band_gain
+                  ).astype(np.float32),
+                 np.asarray(p.iq_amp, np.float32),
+                 np.asarray(p.iq_phase, np.float32),
+                 np.asarray(p.nco_freq, np.float32))
+
+    ch_specs = [None] * len(ch)
+    if channel_axis is not None:
+        assert ch, "channel_axis needs a channel batch dim"
+        ch_specs[0] = channel_axis
+        vary = (channel_axis, axis_name)
+    else:
+        vary = (axis_name,)
+    fe = sharded_frontend_full(chain, axis_name, vary_axes=vary)
+    seg_spec = P(*ch_specs, axis_name)
+    par_spec = jax.tree.map(lambda _: P(*ch_specs), fe_params)
+    fe_sh = jax.jit(jax.shard_map(fe, mesh=mesh,
+                                  in_specs=(seg_spec, par_spec),
                                   out_specs=seg_spec))
-    x24 = fe_sh(iq)                                 # (..., N/8) audio rate
+    x24 = fe_sh(iq, fe_params)                      # (..., N/8) audio rate
 
     blk = C.BLOCK_SIZE // C.DF
     nb = x24.shape[-1] // blk
@@ -223,6 +245,13 @@ def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
 
     def scan_tail(blocks, params):
         st = chain.init_state(ch)
+        if channel_axis is not None:
+            # tail pass rides the channel axis via GSPMD: constrain the
+            # carried state so the scan stays communication-free
+            from jax.sharding import NamedSharding
+            st = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(channel_axis))), st)
 
         def step(st, xb):
             st, outs = chain._post_frontend(params, st, xb, {}, st.dc_bq,

@@ -221,3 +221,31 @@ def test_time_sharded_full_chain_sam_and_channels():
     # skip the PLL lock transient (first 4 audio blocks)
     snr = _snr_db(ref["audio_24k"][..., 1024:], got["audio_24k"][..., 1024:])
     assert snr > 40.0, snr
+
+
+def test_time_sharded_full_chain_ch_x_t_mesh():
+    """The full chain on a 2-D ch x t mesh: channels sharded over `ch`
+    (params ride the same sharding through shard_map), time over `t`
+    with ppermute halos.  Matches the streamed chain per channel."""
+    from t41x.mesh import timeshard
+
+    chain = RxChain(ChainSpec(mode="usb", agc_mode=2, spectrum_taps=True,
+                              interpolate_out=True))
+    n_ch, n = 4, 4 * C.BLOCK_SIZE
+    iq = np.stack([
+        np.asarray(signals.usb_signal([650.0 + 80.0 * k, 2100.0], n,
+                                      nco=2500.0)) * 0.3
+        + np.asarray(signals.awgn(n, 0.01, seed=50 + k))
+        for k in range(n_ch)
+    ]).astype(np.complex64)
+    params = default_params((n_ch,), nco_freq=2500.0)
+    # per-channel gains exercise the sharded param path
+    params = params._replace(
+        rf_gain_db=np.linspace(-3.0, 3.0, n_ch).astype(np.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("ch", "t"))
+    got = timeshard.run_time_sharded_full(chain, mesh, iq, params,
+                                          channel_axis="ch")
+    ref = chain.run(iq, params=params)
+    for key in ("audio_24k", "audio"):
+        snr = _snr_db(ref[key], got[key])
+        assert snr > 55.0, (key, snr)
