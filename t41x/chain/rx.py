@@ -186,12 +186,14 @@ class RxChain:
         self.cw = (cw_mod.CWDetector(spec.cw_tone_hz, spec.sample_rate / C.DF)
                    if spec.mode == "cw" and spec.cw_decode else None)
         if spec.mode == "cw" and spec.cw_filter_index < 5:
-            # selectable narrow CW audio low-pass (reference ships five
-            # 12-pole Chebyshev designs, FIR.cpp:15-66 / Process.cpp:882-912)
-            from scipy import signal as _sig
-            cutoffs = [800.0, 1000.0, 1300.0, 1800.0, 2000.0]
-            sos = _sig.cheby1(6, 0.2, cutoffs[spec.cw_filter_index],
-                              fs=spec.sample_rate / C.DF, output="sos")
+            # selectable narrow CW audio low-pass: same family as the
+            # reference's five shipped designs (FIR.cpp:15-66, applied
+            # Process.cpp:882-912) — 12-pole Chebyshev I, 0.02 dB ripple,
+            # -3 dB at 840/1080/1320/1800/2000 Hz; response-parity vs the
+            # shipped tables in tests/test_coeff_parity.py
+            sos = fd.cw_audio_lpf(
+                fd.CW_FILTER_FC_HZ[spec.cw_filter_index],
+                fs=spec.sample_rate / C.DF)
             self.cw_lp_b = sos[:, :3].astype(np.float32)
             self.cw_lp_a = sos[:, 3:].astype(np.float32)
             self.cw_lp_op = iir.BiquadChunked(self.cw_lp_b, self.cw_lp_a,

@@ -65,11 +65,12 @@ class ZoomFFT:
         # 4-tap FIR decimator prototype, Astop 60 (ZoomFFTPrep FFT.cpp:41)
         self.h = fd.fir_kaiser(4, f_stop, 60.0, "lowpass",
                                fs=rate).astype(np.float32)
-        # anti-alias IIR: the reference ships baked 4-stage biquads per
-        # zoom (mag_coeffs, FIR.cpp:582-885); t41x designs an equivalent
-        # 2-section butterworth at trace time
-        from scipy import signal
-        sos = signal.butter(4, f_stop * 0.85, fs=rate, output="sos")
+        # anti-alias IIR: same design family as the reference's baked
+        # 4-stage biquads per zoom (mag_coeffs, FIR.cpp:582-885) —
+        # 8th-order elliptic, 0.02 dB ripple, 60 dB stopband, -3 dB at
+        # the decimated Nyquist; response parity vs the shipped tables
+        # in tests/test_coeff_parity.py
+        sos = fd.zoom_antialias_iir(zoom, fs=rate)
         self.iir_b = sos[:, :3].astype(np.float32)
         self.iir_a = sos[:, 3:].astype(np.float32)
         # chunk-parallel application at RF rate (16 matmuls, not a
