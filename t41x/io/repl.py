@@ -45,10 +45,17 @@ commands:
   nr <0-3>          noise reduction: off kim spectral lms
   zoom <z>          spectrum zoom (-1 off, 0 = x1, n = x2^n)
   filter <lo> <hi>  audio band-pass cuts, Hz
+  eq rx|tx [on|off] toggle 14-band EQ / show band gains
+  eq rx|tx <b> <g>  set EQ band b (1-14) gain 0-100, live
+  mic [gain <db>] [comp <ratio>]   mic gain / compression
+  fav               list favorite frequency slots
+  fav set <slot>    store current frequency in slot 0-12
+  fav <slot>        recall favorite (auto band switch)
   spectrum          ASCII panadapter of the latest RF spectrum
   audio             ASCII spectrum of the latest audio tap
   smeter            S-meter reading (dBm)
   cal tx [tone_hz]  TX IQ calibration via the attached loopback
+  cal rx [tone_hz]  RX IQ calibration via the attached loopback
   save <path>       persist config (the EEPROM/SD menu)
   load <path>       restore config
   status            current settings + load
@@ -144,10 +151,29 @@ class OperatorSession:
             self.radio._chain = None
             return f"config loaded from {args[0]}"
         if cmd == "cal":
-            if not args or args[0] != "tx":
-                raise ValueError("usage: cal tx [tone_hz]")
-            return self._cal_tx(float(args[1]) if len(args) > 1
-                                else 1000.0)
+            if not args or args[0] not in ("tx", "rx"):
+                raise ValueError("usage: cal tx|rx [tone_hz]")
+            tone = float(args[1]) if len(args) > 1 else 1000.0
+            return (self._cal_tx(tone) if args[0] == "tx"
+                    else self._cal_rx(tone))
+        if cmd == "eq":
+            return self._eq(args)
+        if cmd == "mic":
+            return self._mic(args)
+        if cmd == "fav":
+            if not args:
+                favs = cfg.favorites
+                if not any(favs):
+                    return "no favorites stored (fav set <slot>)"
+                return "\n".join(f"{i:2d}: {f/1e6:.4f} MHz"
+                                 for i, f in enumerate(favs) if f)
+            if args[0] == "set":
+                slot = int(args[1])
+                freq = radio.save_favorite(slot)
+                return f"favorite {slot} = {freq/1e6:.4f} MHz"
+            freq = radio.recall_favorite(int(args[0]))
+            return (f"recalled {freq/1e6:.4f} MHz "
+                    f"(band {cfg.band.name})")
         if cmd == "nr":
             radio.set_nr(int(args[0]))
             return f"nr {cfg.nr_mode}"
@@ -169,6 +195,78 @@ class OperatorSession:
         raise ValueError(f"unknown command {cmd!r} (try 'help')")
 
     # ------------------------------------------------------------------
+    def _eq(self, args: list[str]) -> str:
+        """The EQ set menus (`MenuProc.cpp:318` receive, `:348`
+        transmit): toggle the 14-band EQ and edit band gains live."""
+        cfg = self.radio.config
+        if not args or args[0] not in ("rx", "tx"):
+            raise ValueError("usage: eq rx|tx [on|off | <band> <gain>]")
+        which = args[0]
+        gains = cfg.equalizer_rec if which == "rx" else cfg.equalizer_xmt
+        if len(args) == 1:
+            on = cfg.receive_eq_on if which == "rx" else cfg.xmit_eq_on
+            bars = " ".join(f"{g:3d}" for g in gains)
+            return f"eq {which} {'on' if on else 'off'}\n{bars}"
+        if args[1] in ("on", "off"):
+            self.radio.set_eq(which, args[1] == "on")
+            return f"eq {which} {args[1]}"
+        band, gain = int(args[1]), int(args[2])
+        self.radio.set_eq_band(which, band - 1, gain)  # 1-based like menu
+        return f"eq {which} band {band} = {gains[band - 1]}"
+
+    def _mic(self, args: list[str]) -> str:
+        """The mic gain/compression menu (`MenuProc.cpp:436`)."""
+        cfg = self.radio.config
+        if not args:
+            return (f"mic gain {cfg.mic_gain} dB  "
+                    f"compression {cfg.mic_compression:g}"
+                    f"{' (off)' if cfg.mic_compression < 0 else ''}")
+        it = iter(args)
+        for key in it:
+            if key == "gain":
+                self.radio.set_mic_gain(int(next(it)))
+            elif key == "comp":
+                self.radio.set_mic_compression(float(next(it)))
+            else:
+                raise ValueError("usage: mic [gain <db>] [comp <ratio>]")
+        return self._mic([])
+
+    def _cal_rx(self, tone_hz: float) -> str:
+        """The RX-side calibrate flow (`MenuProc.cpp:491` ->
+        `DoReceiveCalibrate` `Process2.cpp:159`): a clean quadrature cal
+        tone goes through the TX->RX loopback (which carries the RX
+        front end's IQ impairment), the RX amplitude/phase correction
+        factors are descended against measured image rejection, then
+        written through to the per-band config."""
+        if self.loopback is None:
+            return ("no TX->RX loopback attached — pass "
+                    "OperatorSession(runner, loopback=fn)")
+        import numpy as np
+
+        from t41x.chain import cal as cal_mod
+        from t41x.chain import rx as rx_mod
+
+        cfg = self.radio.config
+        n = 4 * C.BLOCK_SIZE
+        t = np.arange(n) / C.SAMPLE_RATE
+        tone = (0.5 * np.exp(2j * np.pi * tone_hz * t)).astype(np.complex64)
+        rx_in = np.asarray(self.loopback(tone))
+
+        def measure(amp: float, phase: float) -> float:
+            corr = rx_mod.iq_correction(
+                rx_in.real.astype(np.float32),
+                rx_in.imag.astype(np.float32),
+                np.float32(amp), np.float32(phase))
+            return cal_mod.image_rejection_db(np.asarray(corr), tone_hz)
+
+        amp, phase, best = cal_mod.calibrate_iq(
+            measure, float(cfg.band.iq_amp_correction),
+            float(cfg.band.iq_phase_correction))
+        cfg.band.iq_amp_correction = float(amp)
+        cfg.band.iq_phase_correction = float(phase)
+        return (f"RX cal: amp {amp:.4f} phase {phase:+.4f} "
+                f"image rejection {best:.1f} dB")
+
     def _cal_tx(self, tone_hz: float) -> str:
         """The MenuProc calibrate flow (`DoXmitCalibrate`
         `Process2.cpp:226-293`): cal tone through the TX IQ-correction

@@ -125,6 +125,71 @@ class Radio:
         `currentNoiseFloor[currentBand]`)."""
         self.config.band.noise_floor = int(value)
 
+    def set_eq(self, which: str, on: bool) -> None:
+        """Enable/disable the 14-band receive or transmit EQ (reference
+        `MenuProc.cpp:318/:348` EQ set menus)."""
+        if which == "rx":
+            self.config.receive_eq_on = bool(on)
+            self._chain = None   # static graph change
+        elif which == "tx":
+            self.config.xmit_eq_on = bool(on)
+        else:
+            raise ValueError("which must be 'rx' or 'tx'")
+
+    def set_eq_band(self, which: str, band_idx: int, gain: int) -> None:
+        """Set one EQ band gain, 0..100 (the reference edits
+        `equalizerRec/Xmt[14]` live from the EQ menus).  Receive gains
+        are dynamic params — they take effect next block without a
+        chain swap."""
+        if not 0 <= band_idx < 14:
+            raise ValueError("EQ band index 0..13")
+        gains = (self.config.equalizer_rec if which == "rx"
+                 else self.config.equalizer_xmt if which == "tx"
+                 else None)
+        if gains is None:
+            raise ValueError("which must be 'rx' or 'tx'")
+        gains[band_idx] = int(np.clip(gain, 0, 100))
+
+    def set_mic_gain(self, gain: int) -> None:
+        """Mic gain, dB (reference `MenuProc.cpp:436` mic menu ->
+        `currentMicGain`)."""
+        self.config.mic_gain = int(np.clip(gain, -40, 30))
+
+    def set_mic_compression(self, ratio: float) -> None:
+        """Mic compression control (reference `currentMicCompRatio`;
+        negative = compressor off, matching `SetupMyCompressors`
+        `DSP_Fn.cpp:83-103`)."""
+        self.config.mic_compression = float(ratio)
+
+    def save_favorite(self, slot: int) -> int:
+        """Store the current center frequency in a favorites slot
+        (reference `EEPROMData.favoriteFreqs[13]`, set via the EEPROM
+        menu)."""
+        if not 0 <= slot < 13:
+            raise ValueError("favorite slot 0..12")
+        favs = self.config.favorites
+        while len(favs) < 13:
+            favs.append(0)
+        favs[slot] = int(self.config.center_freq)
+        return favs[slot]
+
+    def recall_favorite(self, slot: int) -> int:
+        """Tune to a stored favorite (reference `GetFavoriteFrequency`,
+        band auto-switch included)."""
+        favs = self.config.favorites
+        if not 0 <= slot < len(favs) or not favs[slot]:
+            raise ValueError(f"favorite slot {slot} is empty")
+        freq = favs[slot]
+        # auto-switch to the band containing the frequency
+        for i, b in enumerate(self.config.bands):
+            if b.band_low <= freq <= b.band_high:
+                if i != self.config.current_band:
+                    self.set_band(i)
+                break
+        self.config.center_freq = freq
+        self.config.nco_freq = 0.0
+        return freq
+
     def set_transmit_power(self, watts: float) -> None:
         self.config.transmit_power = float(np.clip(watts, 0.0, 20.0))
 

@@ -164,3 +164,103 @@ def test_operator_tcp_server_scripted_session():
             assert cmd("quit") == "bye"
     finally:
         srv.close()
+
+
+def test_operator_eq_commands_mid_stream():
+    """EQ set menus (`MenuProc.cpp:318/:348`) from the live session:
+    toggle the receive EQ mid-stream (chain swap) and edit band gains
+    live — the gains must change the audio on the NEXT block."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+    runner.keep_audio = True
+    session = OperatorSession(runner)
+    iq = _two_station_capture(20 * C.BLOCK_SIZE)
+
+    off = _pump(runner, iq, 4)
+    assert session.execute("eq rx on") == "eq rx on"
+    off = _pump(runner, iq, 4, off)   # chain swap happened mid-stream
+    n_keep = len(runner.audio_chunks)
+    off = _pump(runner, iq, 4, off)
+    before_rms = float(np.sqrt(np.mean(np.concatenate(
+        runner.audio_chunks[n_keep:]) ** 2)))
+
+    # zero every EQ band: the audio output (EQ is applied after the
+    # audio-spectrum tap, Process.cpp:828-831) must collapse
+    for b in range(1, 15):
+        out = session.execute(f"eq rx {b} 0")
+        assert f"band {b} = 0" in out
+    off = _pump(runner, iq, 2, off)   # flush the transition block
+    n_keep = len(runner.audio_chunks)
+    off = _pump(runner, iq, 4, off)
+    after_rms = float(np.sqrt(np.mean(np.concatenate(
+        runner.audio_chunks[n_keep:]) ** 2)))
+    assert after_rms < 0.1 * before_rms, (after_rms, before_rms)
+
+    # show view renders gains
+    view = session.execute("eq rx")
+    assert view.startswith("eq rx on")
+    assert "  0" in view
+    # tx EQ gain edit goes to the xmit table
+    session.execute("eq tx 3 55")
+    assert radio.config.equalizer_xmt[2] == 55
+    assert radio.config.equalizer_rec[2] == 0
+
+
+def test_operator_mic_menu():
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+    out = session.execute("mic gain 15 comp 8.5")
+    assert "mic gain 15 dB" in out and "compression 8.5" in out
+    assert radio.config.mic_gain == 15
+    assert radio.config.mic_compression == 8.5
+    out = session.execute("mic comp -1")
+    assert "(off)" in out
+    assert "mic gain 15" in session.execute("mic")
+
+
+def test_operator_cal_rx_flow_converges():
+    """`cal rx` (`DoReceiveCalibrate` `Process2.cpp:159`): the loopback
+    models the RX front end's IQ imbalance; the flow must converge the
+    RX correction factors and write them to the per-band config."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+
+    def rx_hardware(iq):
+        i, q = iq.real, iq.imag
+        return (0.93 * i - 0.04 * q) + 1j * q
+
+    session = OperatorSession(runner, loopback=rx_hardware)
+    out = session.execute("cal rx 1000")
+    assert "RX cal" in out and "image rejection" in out, out
+    rej = float(out.split("rejection")[1].split("dB")[0])
+    assert rej > 30.0, out
+    assert radio.config.band.iq_amp_correction != 1.0
+    assert radio.config.band.iq_amp_correction_tx == 1.0  # TX untouched
+
+    bare = OperatorSession(runner)
+    assert "no TX->RX loopback" in bare.execute("cal rx")
+
+
+def test_operator_favorites_recall():
+    """Favorites (`EEPROMData.favoriteFreqs[13]`): store, list, recall
+    with automatic band switch."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+
+    session.execute("freq 14250000")
+    assert "favorite 2 = 14.2500 MHz" in session.execute("fav set 2")
+    session.execute("band 40M")        # band switch recalls band.freq,
+    session.execute("freq 7200000")    # then tune within the band
+    assert "favorite 5 = 7.2000 MHz" in session.execute("fav set 5")
+
+    listing = session.execute("fav")
+    assert "2: 14.2500 MHz" in listing and "5: 7.2000 MHz" in listing
+
+    out = session.execute("fav 2")   # recall: band auto-switches to 20M
+    assert "14.2500 MHz" in out and "20M" in out
+    assert radio.config.center_freq == 14_250_000
+    assert radio.config.band.name == "20M"
+
+    assert "error" in session.execute("fav 9")  # empty slot
