@@ -75,18 +75,60 @@ def _device_pipeline(audio, k_candidates: int, bp_iters: int):
 _jit_pipeline = jax.jit(_device_pipeline, static_argnums=(1, 2))
 
 
-def decode_audio(audio: np.ndarray, k_candidates: int = 20,
+def _wf_and_pool(audio, k_pool: int):
+    wf = waterfall.compute_waterfall(audio)
+    return wf, sync.find_candidates(wf, k_pool)
+
+
+def _llr_bp(wf, cands, bp_iters: int):
+    llrs = extract_llrs(wf, cands)
+    return ldpc.bp_decode(llrs, bp_iters)
+
+
+_jit_wf_pool = jax.jit(_wf_and_pool, static_argnums=1)
+_jit_llr_bp = jax.jit(_llr_bp, static_argnums=2)
+
+# Candidate score floor: the reference rejects sync candidates scoring
+# below 40 (`find_sync` threshold, `ft8.cpp:374`).  t41x's score scale
+# (mean over the 21 Costas symbols of 8*P[tone]-sum(P), dB waterfall)
+# was calibrated against synthetic slots: pure-noise slots top out
+# around 32, real signals down to -20 dB SNR score above 55.
+SCORE_FLOOR = 40.0
+_K_POOL = 96
+_K_BUCKETS = (12, 24, 48, 96)
+
+
+def decode_audio(audio: np.ndarray, k_candidates: int | None = None,
                  bp_iters: int = 25, rate: float = 24000.0,
                  base_bin_hz: float = waterfall.TONE_SPACING,
-                 hashes: message.CallHashTable | None = None
-                 ) -> list[Decoded]:
+                 hashes: message.CallHashTable | None = None,
+                 score_floor: float = SCORE_FLOOR) -> list[Decoded]:
     """Demodulated USB audio (15 s slot at 24 kHz) -> decoded messages.
+
+    k_candidates=None (default) adapts the candidate count to band
+    occupancy: sync scores for a 96-deep pool are computed once, the
+    score floor discards noise-level candidates, and LDPC runs on the
+    smallest static bucket (12/24/48/96) covering the survivors — a
+    quiet band costs 12 BP decodes, a crowded one gets 96 (the
+    reference is fixed at 20, `ft8.cpp:64`).  Pass an int to force a
+    fixed candidate count.
 
     Pass a `CallHashTable` kept across slots to resolve `<hashed>`
     calls in type-4 messages."""
-    cands, result = _jit_pipeline(jnp.asarray(audio, jnp.float32),
-                                  k_candidates, bp_iters)
     from t41x.utils.transfer import fetch
+
+    if k_candidates is not None:
+        cands, result = _jit_pipeline(jnp.asarray(audio, jnp.float32),
+                                      k_candidates, bp_iters)
+    else:
+        wf, pool = _jit_wf_pool(jnp.asarray(audio, jnp.float32), _K_POOL)
+        pool_scores = fetch(pool.score)
+        n_above = int(np.sum(pool_scores >= score_floor))
+        if n_above == 0:
+            return []
+        k = next((b for b in _K_BUCKETS if b >= n_above), _K_POOL)
+        cands = jax.tree.map(lambda a: a[:k], pool)
+        result = _jit_llr_bp(wf, cands, bp_iters)
 
     errors = fetch(result.errors)
     bits = fetch(result.bits)

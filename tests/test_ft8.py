@@ -144,3 +144,68 @@ def test_ft8_full_rf_chain_decode():
     audio = np.array(chain.run(np.asarray(iq))["audio_24k"], np.float32)
     decoded = ft8_decode.decode_audio(audio)
     assert any(d.text == msg for d in decoded), [d.text for d in decoded]
+
+
+def _crowded_slot(n_sig: int, seed: int = 5, noise_rms: float = 0.1):
+    """n_sig overlapping FT8 signals spread across dt (0-2 s) and df
+    (400-2700 Hz), log-spaced amplitudes over ~16 dB, in noise."""
+    rng = np.random.default_rng(seed)
+    # valid standard callsigns (round-trip exactly through pack77)
+    calls = ["K1ABC", "W9XYZ", "N2DEF", "K5GHI", "W0JKL", "N8MNO",
+             "K3PQR", "W4STU", "N6VWX", "K7YZA", "W1BCD", "N3EFG",
+             "K9HIJ", "W5KLM", "N7NOP", "K2QRS", "W6TUV", "N4WXY"]
+    msgs = [f"CQ {calls[i]} FN{(i * 7) % 90:02d}" for i in range(n_sig)]
+    slot = signals.awgn(int(14.5 * C.AUDIO_RATE), noise_rms, seed=seed,
+                        complex_=False).astype(np.float32)
+    freqs = np.linspace(400.0, 2700.0, n_sig)
+    rng.shuffle(freqs)
+    amps = 0.08 * 10 ** (rng.uniform(0.0, 0.8, n_sig))  # 0.08..0.5
+    for i, msg in enumerate(msgs):
+        a = encode.synth_audio(encode.encode(msg), base_freq=float(freqs[i]),
+                               amp=float(amps[i]))
+        start = int(rng.uniform(0.0, 2.0) * C.AUDIO_RATE)
+        end = min(start + len(a), len(slot))
+        slot[start:end] += a[: end - start]
+    return slot, msgs
+
+
+def test_ft8_crowded_band_15_signals():
+    """Crowded-band envelope (VERDICT r3 item 6): >=15 overlapping
+    signals per slot — the reference regime (`ft8.cpp:64-67` allows 20
+    candidates/10 messages; WSJT-X decodes dozens).  The adaptive
+    candidate pool must decode most of them with ZERO false decodes."""
+    slot, msgs = _crowded_slot(15)
+    decoded = ft8_decode.decode_audio(slot)
+    texts = [d.text for d in decoded]
+    # no false decodes: every decode is one of the transmitted messages
+    assert all(t in msgs for t in texts), [t for t in texts
+                                          if t not in msgs]
+    assert len(set(texts)) == len(texts)  # dedupe holds
+    # decode density: at least 11/15 in one pass (the reference caps at
+    # 10 messages/slot total)
+    assert len(texts) >= 11, (len(texts), sorted(set(msgs) - set(texts)))
+
+
+def test_ft8_adaptive_candidates_scale_with_occupancy():
+    """Quiet band -> small BP bucket; crowded band -> larger bucket;
+    empty band -> zero work (score floor, reference `ft8.cpp:374`)."""
+    # pure noise: no candidate above the floor, nothing decoded
+    noise = signals.awgn(int(14.5 * C.AUDIO_RATE), 0.15, seed=9,
+                         complex_=False).astype(np.float32)
+    assert ft8_decode.decode_audio(noise) == []
+
+    # count survivors above the floor for quiet vs crowded
+    import jax.numpy as jnp
+
+    from t41x.utils.transfer import fetch
+
+    def n_above(slot):
+        _, pool = ft8_decode._jit_wf_pool(
+            jnp.asarray(slot, jnp.float32), ft8_decode._K_POOL)
+        return int(np.sum(fetch(pool.score) >= ft8_decode.SCORE_FLOOR))
+
+    quiet, _ = _crowded_slot(1, seed=11)
+    crowded, _ = _crowded_slot(15, seed=11)
+    nq, nc = n_above(quiet), n_above(crowded)
+    assert nq < nc, (nq, nc)
+    assert nc > 24  # crowded band engages a bigger bucket than fixed-20
