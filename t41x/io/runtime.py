@@ -202,10 +202,15 @@ class CaptureStreamer:
 
 
 class LoadMeter:
-    """Processor-load % — mean block time over the real-time budget."""
+    """Processor-load % — mean block time over the real-time budget.
 
-    def __init__(self, budget_s: float = C.BLOCK_SECONDS):
-        lib = _load()
+    force_python: skip the native meter (needed for multi-block
+    accounting, `end(n_blocks=...)`, which the native API has no
+    weighted form for)."""
+
+    def __init__(self, budget_s: float = C.BLOCK_SECONDS,
+                 force_python: bool = False):
+        lib = None if force_python else _load()
         if lib:
             self._lib = lib
             self._h = lib.t41x_load_create(budget_s)
@@ -222,12 +227,15 @@ class LoadMeter:
         else:
             self._t0 = time.perf_counter()
 
-    def end(self):
+    def end(self, n_blocks: int = 1):
+        """Finish a measurement covering n_blocks real-time budgets (a
+        batched dispatch amortizes one launch over several blocks)."""
         if self._h:
+            assert n_blocks == 1, "native meter is per-block"
             self._lib.t41x_load_end(self._h)
         else:
             self._sum += time.perf_counter() - self._t0
-            self._n += 1
+            self._n += n_blocks
 
     @property
     def percent(self) -> float:

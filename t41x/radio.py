@@ -197,6 +197,8 @@ class Radio:
     @property
     def chain(self) -> RxChain:
         if self._chain is None:
+            import jax
+
             cfg = self.config
             spec = ChainSpec(
                 mode=cfg.band.mode,
@@ -211,6 +213,10 @@ class Radio:
                 cw_filter_index=cfg.cw_filter_index,
                 cw_tone_hz=cfg.cw_sidetone_hz,
                 interpolate_out=False,
+                # production fast path on accelerators; CPU keeps the
+                # XLA path (the Pallas interpreter is for parity tests,
+                # not live streaming)
+                use_pallas=jax.default_backend() != "cpu",
             )
             self._chain = RxChain(spec)
             self._chain_spec = spec

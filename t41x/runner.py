@@ -27,14 +27,27 @@ from t41x.radio import Radio
 
 
 class StreamRunner:
+    """channels: a channel-batch shape (e.g. (256,)) — the ring then
+    carries (channels..., BLOCK) I/Q per entry and one dispatch serves
+    every channel.  batch_blocks: process B ring entries per device
+    dispatch (one lax.scan) — live mode for transports whose dispatch
+    floor exceeds the 10.67 ms block budget (the driver's tunneled TPU
+    measures ~25 ms): B blocks buy B budgets per launch."""
+
     def __init__(self, radio: Radio, ring: BlockRing | None = None,
-                 control_server=None, cat_handler=None, slot_clock=None):
+                 control_server=None, cat_handler=None, slot_clock=None,
+                 channels: tuple[int, ...] = (), batch_blocks: int = 1):
+        self.channels = tuple(channels)
+        self.batch_blocks = int(batch_blocks)
+        n_floats = 2 * C.BLOCK_SIZE
+        for d in self.channels:
+            n_floats *= d
         self.radio = radio
-        self.ring = ring or BlockRing()
+        self.ring = ring or BlockRing(block_floats=n_floats)
         self.control = control_server
         self.cat = cat_handler
         self.slot_clock = slot_clock  # wall-clock fn for FT8 slot sync
-        self.load = LoadMeter()
+        self.load = LoadMeter(force_python=self.batch_blocks > 1)
         self.blocks_processed = 0
         self._state = None
         self._spec_key = None
@@ -55,12 +68,21 @@ class StreamRunner:
         if key != self._spec_key:
             import jax
 
-            self._state = chain.init_state(())
+            self._state = chain.init_state(self.channels)
             self._spec_key = key
             # one compiled graph per chain spec: the eager per-op path
             # misses real time by >100x on CPU; jitted it runs in ~1/3
             # of the 10.67 ms block budget
             self._block_fn = jax.jit(chain.block)
+            if self.batch_blocks > 1:
+                def batch_fn(params, st, blocks):
+                    def body(st, blk):
+                        st, out = chain.block(params, st, blk)
+                        return st, out
+
+                    return jax.lax.scan(body, st, blocks)
+
+                self._batch_fn = jax.jit(batch_fn)
             if chain.spec.mode == "cw":
                 from t41x.decode.cw_text import MorseDecoder
 
@@ -80,9 +102,17 @@ class StreamRunner:
         import jax.numpy as jnp
 
         self._ensure_chain()
-        params = self.radio.params(())
+        params = self.radio.params(self.channels)
+        if self.batch_blocks > 1:
+            st, outs = self._batch_fn(
+                params, self._state,
+                jnp.zeros((self.batch_blocks,) + self.channels
+                          + (C.BLOCK_SIZE,), jnp.complex64))
+            jax.block_until_ready(outs["audio_24k"])
+            return
         st, out = self._block_fn(params, self._state,
-                                 jnp.zeros(C.BLOCK_SIZE, jnp.complex64))
+                                 jnp.zeros(self.channels + (C.BLOCK_SIZE,),
+                                           jnp.complex64))
         jax.block_until_ready(out["audio_24k"])
 
     def step(self) -> dict | None:
@@ -92,8 +122,9 @@ class StreamRunner:
         block = self.ring.pop_iq()
         if block is None:
             return None
+        block = block.reshape(self.channels + (C.BLOCK_SIZE,))
         self._ensure_chain()
-        params = self.radio.params(())
+        params = self.radio.params(self.channels)
         self.load.begin()
         self._state, out = self._block_fn(params, self._state,
                                           jnp.asarray(block))
@@ -132,13 +163,75 @@ class StreamRunner:
                 results["ft8"] = decoded
         return results
 
+    def step_batch(self) -> dict | None:
+        """Process `batch_blocks` ring entries in ONE device dispatch
+        (None if fewer are queued).  Display taps publish from the
+        batch's last block; decoders are fed the whole audio stream."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.ring.available() < self.batch_blocks:
+            return None
+        blocks = np.stack([
+            self.ring.pop_iq().reshape(self.channels + (C.BLOCK_SIZE,))
+            for _ in range(self.batch_blocks)])
+        self._ensure_chain()
+        params = self.radio.params(self.channels)
+        self.load.begin()
+        self._state, outs = self._batch_fn(params, self._state,
+                                           jnp.asarray(blocks))
+        outs["audio_24k"].block_until_ready()
+        self.load.end(self.batch_blocks)
+        self.blocks_processed += self.batch_blocks
+
+        results = {"load_percent": self.load.percent}
+        audio = np.asarray(outs["audio_24k"])       # (B, ..., 256)
+        if self.keep_audio:
+            self.audio_chunks.append(
+                np.moveaxis(audio, 0, -2).reshape(self.channels + (-1,)))
+        out_last = {k: np.asarray(v)[-1] for k, v in outs.items()}
+        ch0 = (0,) * len(self.channels)
+        if "rf_spectrum" in out_last:
+            self.last_rf_spectrum_db = 10 * np.log10(
+                np.asarray(out_last["rf_spectrum"])[ch0] + 1e-12)
+            if self.control is not None:
+                self.control.publish_rf_spectrum(self.last_rf_spectrum_db)
+        if "audio_spectrum" in out_last:
+            self.last_audio_spectrum = np.asarray(
+                out_last["audio_spectrum"])[ch0]
+        if "smeter_avg" in out_last:
+            from t41x.dsp.spectrum import smeter_dbm
+
+            dbm = float(smeter_dbm(out_last["smeter_avg"][ch0]))
+            self.last_smeter_dbm = dbm
+            if self.control is not None:
+                self.control.publish_smeter(dbm)
+            if self.cat is not None:
+                self.cat.smeter_dbm = dbm
+        if self._morse is not None and "cw_keyed" in outs:
+            keyed = np.asarray(outs["cw_keyed"])      # (B, ...)
+            text = self._morse.feed([bool(k[ch0]) for k in keyed])
+            if text:
+                results["cw_text"] = text
+        if self._ft8_slots is not None:
+            decoded = self._ft8_slots.feed(
+                audio[(slice(None),) + ch0].reshape(-1))
+            if decoded:
+                results["ft8"] = decoded
+        return results
+
     def drain(self, max_blocks: int | None = None) -> int:
         """Process everything currently available; returns block count."""
         n = 0
         while max_blocks is None or n < max_blocks:
-            if self.step() is None:
-                break
-            n += 1
+            if self.batch_blocks > 1:
+                if self.step_batch() is None:
+                    break
+                n += self.batch_blocks
+            else:
+                if self.step() is None:
+                    break
+                n += 1
         return n
 
     @property

@@ -137,14 +137,21 @@ def rank_main(args) -> None:
 
 
 def cpu_sets(n_procs: int, max_procs: int) -> list[str]:
-    """Disjoint CPU sets for each simulated host, sized for `max_procs`
-    hosts so EVERY run (N=1..max) gives each host the same per-host
-    compute envelope — otherwise the N=1 baseline would get the whole
-    machine and the comparison would be meaningless."""
+    """CPU sets for each simulated host, sized for `max_procs` hosts so
+    EVERY run (N=1..max) gives each host the same per-host compute
+    envelope — otherwise the N=1 baseline would get the whole machine
+    and the comparison would be meaningless.  When n_procs exceeds the
+    physical CPU count the assignment wraps around (OVERSUBSCRIBED —
+    two 'hosts' share a core): the run then measures the machine's
+    capacity ceiling rather than linear scaling, reported as
+    `efficiency_vs_capacity`."""
     n_cpu = os.cpu_count() or 1
     per = max(1, n_cpu // max_procs)
-    return [",".join(str(c) for c in range(i * per, (i + 1) * per))
-            for i in range(n_procs)]
+    sets = []
+    for i in range(n_procs):
+        cpus = sorted({(i * per + j) % n_cpu for j in range(per)})
+        sets.append(",".join(str(c) for c in cpus))
+    return sets
 
 
 def launch(n_procs: int, args, port: int) -> dict:
@@ -201,11 +208,23 @@ def main() -> None:
         print(f"hosts={n}: {rate/1e6:.1f} Msamples/s aggregate "
               f"({r['channels_total']} channels)", flush=True)
     base = results[0]["samples_per_sec"]
+    n_cpu = os.cpu_count() or 1
+    per = max(1, n_cpu // args.procs)
+    capacity_hosts = max(1, n_cpu // per)   # hosts that fit w/o sharing
     for r in results[1:]:
         n = r["num_processes"]
         r["scaling_efficiency"] = r["samples_per_sec"] / (n * base)
+        r["oversubscribed"] = n > capacity_hosts
+        # vs what the physical cores can deliver: an oversubscribed run
+        # can at best hold the capacity_hosts aggregate
+        r["efficiency_vs_capacity"] = (
+            r["samples_per_sec"] / (min(n, capacity_hosts) * base))
+        tag = (" [oversubscribed: "
+               f"{n} hosts on {n_cpu} cores, "
+               f"{r['efficiency_vs_capacity']*100:.1f}% of capacity]"
+               if r["oversubscribed"] else "")
         print(f"scaling efficiency at {n} hosts: "
-              f"{r['scaling_efficiency']*100:.1f}% (target >= 90%)")
+              f"{r['scaling_efficiency']*100:.1f}% (target >= 90%){tag}")
     artifact = {"cpu_count": os.cpu_count(),
                 "devices_per_host": args.devices_per_host,
                 "runs": results}
