@@ -73,6 +73,11 @@ def main() -> None:
                          "display path)")
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--q15", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="ingest ADC q15 int16 (i, q) pairs — the "
+                         "reference's sample format (arm_q15_to_float, "
+                         "Process.cpp:102-111); halves the input bytes")
     ap.add_argument("--no-linearity", action="store_true", default=False)
     ap.add_argument("--channelizer-k", type=int, default=16,
                     help="channelizer bank size K (--config channelizer)")
@@ -102,6 +107,7 @@ def main() -> None:
     spec = ChainSpec(spectrum_taps=args.spectrum, use_matmul_osfilter=True,
                      use_pallas=args.pallas,
                      interpolate_out=args.interpolate,
+                     q15_input=args.q15 and args.config != "channelizer",
                      **cfg_map[args.config])
     chain = RxChain(spec)
     channelize = args.config == "channelizer"
@@ -148,10 +154,16 @@ def main() -> None:
         rng = np.random.default_rng(0)
         shape = ((n_blocks, n_ch // cz.K, cz.K * C.BLOCK_SIZE) if cz
                  else (n_blocks, n_ch, C.BLOCK_SIZE))
-        blocks = creal.csplit(
-            (rng.standard_normal(shape)
-             + 1j * rng.standard_normal(shape)
-             ).astype(np.complex64) * 0.1)
+        iq = (rng.standard_normal(shape)
+              + 1j * rng.standard_normal(shape)
+              ).astype(np.complex64) * 0.1
+        if spec.q15_input:
+            blocks = (np.clip(np.round(iq.real * 32768.0), -32768,
+                              32767).astype(np.int16),
+                      np.clip(np.round(iq.imag * 32768.0), -32768,
+                              32767).astype(np.int16))
+        else:
+            blocks = creal.csplit(iq)
         st = creal.csplit(chain.init_state((n_ch,)))
         # transfer once, outside the timed region: re-uploading the block
         # buffer each call would make the measurement transfer-bound
@@ -269,7 +281,7 @@ def main() -> None:
     dev = jax.devices()[0]
     peak = _PEAK_FLOPS.get(str(dev.device_kind))
     cfg = {
-        "mode": spec.mode, "bench": args.config,
+        "mode": spec.mode, "bench": args.config, "q15": spec.q15_input,
         "pallas": args.pallas, "spectrum_taps": args.spectrum,
         "interpolate_out": args.interpolate,
         "channels": best["channels"],

@@ -203,13 +203,26 @@ class RxChain:
         self.zoomfft = (spectrum_mod.ZoomFFT(spec.spectrum_zoom,
                                              spec.sample_rate)
                         if spec.spectrum_zoom >= 1 else None)
-        if spec.use_pallas and spec.spectrum_zoom < 0:
+        if spec.use_pallas:
             # whole RF front end (gain/DC/IQ/fs4/NCO/dec x4/dec x2) as one
-            # Pallas kernel; RF spectrum taps need intermediate signals,
-            # so zoomed chains keep the unfused path
+            # Pallas kernel; the RF display taps (zoom-1 segment, zoom
+            # IIR+decimator) are fused into the same kernel so zoomed
+            # chains keep the production fast path (the reference always
+            # computes the panadapter inside its hot loop,
+            # Process.cpp:185-215)
             from t41x.kernels.frontend_pallas import FusedFrontEnd
+            if self.zoomfft is not None:
+                zkw = dict(zoom=spec.spectrum_zoom,
+                           zoom_sos=(self.zoomfft.iir_b,
+                                     self.zoomfft.iir_a),
+                           zoom_h=self.zoomfft.h)
+            elif spec.spectrum_zoom == 0:
+                zkw = dict(zoom=0)
+            else:
+                zkw = dict(zoom=None)
             self.fused_fe = FusedFrontEnd(self.h1, self.h2, self.dc_b[0],
-                                          self.dc_a[0], spec.sample_rate)
+                                          self.dc_a[0], spec.sample_rate,
+                                          **zkw)
         else:
             self.fused_fe = None
 
@@ -266,10 +279,24 @@ class RxChain:
                   * jnp.float32(1.0 / 32768.0)).astype(jnp.complex64)
 
         if self.fused_fe is not None:
-            (dc_bq, nco_phase, dec1, dec2), x = self.fused_fe.block(
-                params, (state.dc_bq, state.nco_phase, state.dec1,
-                         state.dec2), iq)
-            zoom_state = state.zoom
+            st4 = (state.dc_bq, state.nco_phase, state.dec1, state.dec2)
+            if spec.spectrum_zoom == 0:
+                (dc_bq, nco_phase, dec1, dec2), x, seg = \
+                    self.fused_fe.block(params, st4, iq)
+                zoom_state, rf_spec = spectrum_mod.zoom1_from_segment(
+                    state.zoom, seg)
+                outputs["rf_spectrum"] = rf_spec
+            elif self.zoomfft is not None:
+                (dc_bq, nco_phase, dec1, dec2), x, zdec, z_iir, z_dec = \
+                    self.fused_fe.block(params, st4, iq,
+                                        (state.zoom.iir, state.zoom.dec))
+                zoom_state, rf_spec = self.zoomfft.spectrum_from_decimated(
+                    state.zoom._replace(iir=z_iir, dec=z_dec), zdec)
+                outputs["rf_spectrum"] = rf_spec
+            else:
+                (dc_bq, nco_phase, dec1, dec2), x = self.fused_fe.block(
+                    params, st4, iq)
+                zoom_state = state.zoom
             return self._post_frontend(params, state, x, outputs, dc_bq,
                                        nco_phase, dec1, dec2, zoom_state)
 

@@ -46,9 +46,14 @@ def _swap_halves(p: jnp.ndarray) -> jnp.ndarray:
 def zoom1_spectrum(spec_old: jnp.ndarray, iq: jnp.ndarray):
     """Zoom x1 display spectrum from a (..., >=512) I/Q block.
     spec_old: (..., 512) EMA state.  Returns (spec_old', power)."""
+    return zoom1_from_segment(spec_old, iq[..., :RES])
+
+
+def zoom1_from_segment(spec_old: jnp.ndarray, seg: jnp.ndarray):
+    """Zoom x1 tail from the first 512 I/Q samples of a block (the fused
+    Pallas front end emits this segment directly)."""
     w = jnp.asarray(_hann(RES))
-    seg = iq[..., :RES] * w
-    spec = mxu_fft.fft(seg, axis=-1)
+    spec = mxu_fft.fft(seg * w, axis=-1)
     power = _swap_halves(spec.real ** 2 + spec.imag ** 2)
     sm = EMA * power + (1.0 - EMA) * spec_old
     return sm, sm
@@ -94,6 +99,13 @@ class ZoomFFT:
         over the most recent 512 (ring order handled by roll-free
         concatenation since sample counts are static).
         """
+        st, x = self.prefilter(st, iq)
+        return self.spectrum_from_decimated(st, x)
+
+    def prefilter(self, st: "ZoomState", iq: jnp.ndarray):
+        """Anti-alias IIR + decimate-by-2^zoom (the RF-rate half of the
+        zoom tap — this is the part the fused Pallas front end computes
+        in-kernel).  Returns (state-with-new-iir/dec, decimated I/Q)."""
         from t41x.dsp import fir
 
         xi = jnp.stack([iq.real, iq.imag], axis=-2)  # (..., 2, N)
@@ -101,6 +113,11 @@ class ZoomFFT:
         x = (xi[..., 0, :] + 1j * xi[..., 1, :]).astype(jnp.complex64)
         dec_st, x = fir.fir_decimate(st.dec, x, jnp.asarray(self.h),
                                      self.factor)
+        return ZoomState(iir_st, dec_st, st.ring, st.spec_old), x
+
+    def spectrum_from_decimated(self, st: "ZoomState", x: jnp.ndarray):
+        """Ring update + Hann/FFT/power/EMA over the decimated zoom
+        stream (the audio/display-rate half of the zoom tap)."""
         n_new = x.shape[-1]
         if n_new >= RES:
             ring = x[..., -RES:]
@@ -110,7 +127,7 @@ class ZoomFFT:
         spec = mxu_fft.fft(ring * (self.multiplier * w), axis=-1)
         power = _swap_halves(spec.real ** 2 + spec.imag ** 2)
         sm = EMA * power + (1.0 - EMA) * st.spec_old
-        return ZoomState(iir_st, dec_st, ring, sm), sm
+        return ZoomState(st.iir, st.dec, ring, sm), sm
 
 
 class ZoomState(NamedTuple):

@@ -9,6 +9,25 @@ over 16.8 MB (measured 465 us/block at 1024 channels, dominated by a
 pathological conv lowering for the x4 decimator); fused, the traffic is
 ~19 MB total.
 
+The RF display taps live in the SAME kernel (the reference computes the
+panadapter spectrum inside its hot loop, `Process.cpp:185-215`):
+
+* zoom x1 (`CalcZoom1Magn` `FFT.cpp:208-251`): the kernel emits the
+  first 512 IQ-corrected samples (pre-Fs/4) as a side output; the
+  Hann/FFT/EMA tail runs outside on that small segment.
+* zoom 2^z (`ZoomFFTExe` `FFT.cpp:67-196`): the ENTIRE RF-rate zoom tap
+  — 8th-order elliptic anti-alias IIR (`firdesign.zoom_antialias_iir`,
+  reference `mag_coeffs` `FIR.cpp:582-885`), 4-tap FIR, decimate by
+  2^z — is one LTI system, so it is composed at trace time into a
+  single 11-state chunk operator with the decimation folded in as
+  static output-row selection: per chunk, TWO matmuls on [x | state]
+  ((TILE_C, K+11) @ (K+11, K/2^z) and @ (K+11, 11)) produce the
+  decimated display samples and the next state directly, channel-major
+  — no extra scratch, no transposes, no strided reads, no rank-N
+  scalar update chains.  Only the decimated samples (N/2^z) leave the
+  kernel; the ring/Hann/FFT/EMA tail runs outside
+  (`ZoomFFT.spectrum_from_decimated`).
+
 Structure per 128-channel tile (grid over channel tiles):
 
 * DC biquad: the chunk-parallel state-space form of
@@ -28,8 +47,9 @@ Structure per 128-channel tile (grid over channel tiles):
 
 Parity: `tests/test_frontend_fused.py` checks the FULL chain fused vs
 plain (multi-block state carry, non-tile channel counts, spectrum-tap
-and no-tap paths, AM/SAM tails, fused<->plain state interchange); the
-kernel auto-selects interpreter mode on CPU so CI exercises this graph.
+and no-tap paths, AM/SAM tails, fused<->plain state interchange, and
+the zoom display taps); the kernel auto-selects interpreter mode on CPU
+so CI exercises this graph.
 """
 
 from __future__ import annotations
@@ -47,14 +67,144 @@ from t41x.dsp import iir
 
 TILE_C = 128
 _K = 128  # DC-biquad chunk length (one MXU tile)
+_ZRES = 512  # zoom-1 display segment length (SPECTRUM_RES)
 
+
+def _compose_cascade_ops(b: np.ndarray, a: np.ndarray, K: int):
+    """Compose an S-stage df2T biquad cascade into ONE 2S-state linear
+    system and precompute its K-sample chunk operators (float64):
+
+        y_chunk  = x @ L.T + s @ R.T        L: (K,K)  R: (K,2S)
+        s_next   = s @ AK.T + x @ G         G: (K,2S) AK: (2S,2S)
+
+    The composite state vector is the CONCATENATION of the per-stage
+    df2T states [s1_0, s2_0, s1_1, s2_1, ...], so it is interchangeable
+    with `iir.BiquadChunked` / `biquad_apply` state laid out
+    (..., S, 2).reshape(..., 2S)."""
+    b = np.atleast_2d(np.asarray(b, np.float64))
+    a = np.atleast_2d(np.asarray(a, np.float64))
+    S = b.shape[0]
+    A_c = np.zeros((0, 0))
+    B_c = np.zeros((0,))
+    C_c = np.zeros((0,))
+    D_c = 1.0
+    for s in range(S):
+        a1, a2 = a[s, 1], a[s, 2]
+        b0, b1, b2 = b[s]
+        As = np.array([[-a1, 1.0], [-a2, 0.0]])
+        Bs = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        Cs = np.array([1.0, 0.0])
+        Ds = b0
+        m = A_c.shape[0]
+        A_new = np.zeros((m + 2, m + 2))
+        A_new[:m, :m] = A_c
+        A_new[m:, :m] = np.outer(Bs, C_c)
+        A_new[m:, m:] = As
+        A_c = A_new
+        B_c = np.concatenate([B_c, Bs * D_c])
+        C_c = np.concatenate([Ds * C_c, Cs])
+        D_c = Ds * D_c
+    S2 = 2 * S
+    P = np.empty((K + 1, S2, S2))
+    P[0] = np.eye(S2)
+    for m in range(K):
+        P[m + 1] = A_c @ P[m]
+    h = np.empty(K)
+    h[0] = D_c
+    for n in range(1, K):
+        h[n] = C_c @ P[n - 1] @ B_c
+    L = np.zeros((K, K))
+    for n in range(K):
+        L[n, : n + 1] = h[: n + 1][::-1]
+    R = np.einsum("d,ndk->nk", C_c, P[:K])           # (K, S2)
+    G = np.stack([P[K - 1 - j] @ B_c for j in range(K)])  # (K, S2)
+    return L, R, G, P[K]
+
+
+def _compose_systems(sys1, sys2):
+    """Cascade two state-space systems (input -> sys1 -> sys2)."""
+    A1, B1, C1, D1 = sys1
+    A2, B2, C2, D2 = sys2
+    m, n = A1.shape[0], A2.shape[0]
+    A = np.zeros((m + n, m + n))
+    A[:m, :m] = A1
+    A[m:, :m] = np.outer(B2, C1)
+    A[m:, m:] = A2
+    B = np.concatenate([B1, B2 * D1])
+    Cv = np.concatenate([D2 * C1, C2])
+    return A, B, Cv, D2 * D1
+
+
+def _zoom_chunk_ops(b: np.ndarray, a: np.ndarray, h: np.ndarray,
+                    m: int, K: int):
+    """Compose the WHOLE zoom tap — S-stage biquad cascade, t-tap FIR,
+    decimate-by-m — into one K-sample chunk operator pair with the
+    decimation folded in as static output-row selection (float64):
+
+        y_dec  = [x | s] @ Wy        Wy: (K+S, K/m)
+        s_next = [x | s] @ Ws        Ws: (K+S, S)
+
+    with S = 2*stages + t - 1 composite states ordered
+    [stage0 s1,s2, ..., u[n-1], u[n-2], u[n-3]] — the IIR part is
+    interchangeable with per-stage df2T states, the FIR part with
+    `fir.fir_state` history REVERSED (newest first).  Output rows are
+    the in-chunk sample indices m-1, 2m-1, ... (fir_decimate's
+    newest-sample phase)."""
+    b = np.atleast_2d(np.asarray(b, np.float64))
+    a = np.atleast_2d(np.asarray(a, np.float64))
+    h = np.asarray(h, np.float64)
+    t = len(h)
+    # IIR cascade composite
+    A_c = np.zeros((0, 0))
+    B_c = np.zeros((0,))
+    C_c = np.zeros((0,))
+    D_c = 1.0
+    for s in range(b.shape[0]):
+        a1, a2 = a[s, 1], a[s, 2]
+        b0, b1, b2 = b[s]
+        stage = (np.array([[-a1, 1.0], [-a2, 0.0]]),
+                 np.array([b1 - a1 * b0, b2 - a2 * b0]),
+                 np.array([1.0, 0.0]), b0)
+        A_c, B_c, C_c, D_c = _compose_systems((A_c, B_c, C_c, D_c), stage)
+    # FIR as a shift register: states (u[n-1], ..., u[n-t+1])
+    nf = t - 1
+    Af = np.zeros((nf, nf))
+    Af[1:, :-1] = np.eye(nf - 1)
+    Bf = np.zeros(nf)
+    Bf[0] = 1.0
+    A_c, B_c, C_c, D_c = _compose_systems((A_c, B_c, C_c, D_c),
+                                          (Af, Bf, h[1:], h[0]))
+    S = A_c.shape[0]
+    P = np.empty((K + 1, S, S))
+    P[0] = np.eye(S)
+    for n in range(K):
+        P[n + 1] = A_c @ P[n]
+    h_imp = np.empty(K)
+    h_imp[0] = D_c
+    for n in range(1, K):
+        h_imp[n] = C_c @ P[n - 1] @ B_c
+    sel = np.arange(m - 1, K, m)                      # output sample rows
+    L_sel = np.zeros((len(sel), K))
+    for ji, n in enumerate(sel):
+        L_sel[ji, : n + 1] = h_imp[: n + 1][::-1]
+    R_sel = np.stack([C_c @ P[n] for n in sel])       # (K/m, S)
+    G = np.stack([P[K - 1 - j] @ B_c for j in range(K)])  # (K, S)
+    Wy = np.concatenate([L_sel.T, R_sel.T])           # (K+S, K/m)
+    Ws = np.concatenate([G, P[K].T])                  # (K+S, S)
+    return Wy, Ws, S
 
 class FusedFrontEnd:
-    """Trace-time designed, shape-specialized fused front end."""
+    """Trace-time designed, shape-specialized fused front end.
+
+    zoom: None (no display tap), 0 (zoom x1 segment tap), or 1..7
+    (in-kernel zoom IIR + decimate-by-2^zoom tap; pass zoom_sos —
+    (S,3),(S,3) biquad cascade — and zoom_h, the short FIR decimator
+    taps, both from `t41x.dsp.spectrum.ZoomFFT`)."""
 
     def __init__(self, h1: np.ndarray, h2: np.ndarray, dc_b: np.ndarray,
                  dc_a: np.ndarray, sample_rate: float = C.SAMPLE_RATE,
-                 nco_gain: float = 1.1, interpret=None):
+                 nco_gain: float = 1.1, interpret=None, zoom: int | None = None,
+                 zoom_sos=None, zoom_h: np.ndarray | None = None):
         self.h1_rev = np.asarray(h1, np.float32)[::-1].copy()
         self.h2_rev = np.asarray(h2, np.float32)[::-1].copy()
         self.t1 = len(self.h1_rev)
@@ -72,6 +222,19 @@ class FusedFrontEnd:
         self.G = op.G[0].copy()       # (K, 2)
         self.b0 = float(op.b0[0])
 
+        self.zoom = zoom
+        if zoom is not None and zoom >= 1:
+            zb, za = zoom_sos
+            self.z_stages = np.atleast_2d(zb).shape[0]
+            self.zt = len(np.asarray(zoom_h))
+            self.zfactor = 1 << zoom
+            assert _K % self.zfactor == 0, zoom
+            Wy, Ws, S = _zoom_chunk_ops(zb, za, np.asarray(zoom_h),
+                                        self.zfactor, _K)
+            self.z_states = S                      # 2*stages + taps - 1
+            self.Wy = Wy.astype(np.float32).copy()  # (K+S, K/m)
+            self.Ws = Ws.astype(np.float32).copy()  # (K+S, S)
+
     # ------------------------------------------------------------------
     def init_state(self, channels: tuple[int, ...]):
         """(dc_bq, nco_phase, dec1, dec2) exactly like the unfused chain
@@ -82,16 +245,58 @@ class FusedFrontEnd:
                 np.zeros(channels + (self.t2 - 1,), np.complex64))
 
     # ------------------------------------------------------------------
-    def _kernel(self, n, Rt_ref, Lt_ref, G_ref, pp_ref, dcs_ref,
-                h1r_ref, h1i_ref, h2r_ref, h2i_ref, xr_ref, xi_ref,
-                yr_ref, yi_ref, ndcs_ref, nph_ref, nh1r_ref, nh1i_ref,
-                nh2r_ref, nh2i_ref, xc1_ref, xc2_ref, xr2_ref, xi2_ref,
-                *q15_scratch):
+    def _kernel(self, n, q15, *refs):
         f32 = jnp.float32
-        if q15_scratch:
+        z = self.zoom
+        it = iter(refs)
+
+        # ---- inputs (order must match _call) -----------------------------
+        Rt_ref = next(it)
+        Lt_ref = next(it)
+        G_ref = next(it)
+        pp_ref = next(it)
+        dcs_ref = next(it)
+        h1r_ref = next(it)
+        h1i_ref = next(it)
+        h2r_ref = next(it)
+        h2i_ref = next(it)
+        xr_ref = next(it)
+        xi_ref = next(it)
+        if z is not None and z >= 1:
+            Wy_ref = next(it)
+            Ws_ref = next(it)
+            zs_ref = next(it)     # (1, TILE_C, 2S) composed states I|Q
+
+        # ---- outputs -----------------------------------------------------
+        yr_ref = next(it)
+        yi_ref = next(it)
+        ndcs_ref = next(it)
+        nph_ref = next(it)
+        nh1r_ref = next(it)
+        nh1i_ref = next(it)
+        nh2r_ref = next(it)
+        nh2i_ref = next(it)
+        if z == 0:
+            z1r_ref = next(it)
+            z1i_ref = next(it)
+        elif z is not None:
+            zyr_ref = next(it)
+            zyi_ref = next(it)
+            nzs_ref = next(it)
+
+        # ---- scratch -----------------------------------------------------
+        xc1_ref = next(it)
+        xc2_ref = next(it)
+        xr2_ref = next(it)
+        xi2_ref = next(it)
+        if z is not None and z >= 1:
+            zsr_ref = next(it)    # (n_chunks, TILE_C, K/m) staging
+            zsi_ref = next(it)
+        if q15:
             # q15 ingest: one whole-tile int16 -> f32 relayout up front
             # (per-chunk converts of strided lane slices are slower)
-            xf_r, xf_i = q15_scratch
+            xf_r = next(it)
+            xf_i = next(it)
             xf_r[:] = xr_ref[0].astype(f32)
             xf_i[:] = xi_ref[0].astype(f32)
             ld_r = lambda sl: xf_r[:, sl]      # noqa: E731
@@ -114,6 +319,12 @@ class FusedFrontEnd:
         G = G_ref[:]
         AKt = self.AKt  # 2x2 numpy: embedded as scalar constants
 
+        zoom_iir = z is not None and z >= 1
+        if zoom_iir:
+            Wy = Wy_ref[:]
+            Ws = Ws_ref[:]
+            kout = _K // self.zfactor
+
         # --- one fused chunk loop: DC biquad + IQ correction + fs4/NCO.
         # The NCO phasor is the kernel's transcendental wall if computed
         # per sample (2 * TILE_C * n cos/sin per tile measured at ~68 us
@@ -133,7 +344,7 @@ class FusedFrontEnd:
         sd = jnp.sin(w * f32(_K))
 
         def chunk_body(k, carry):
-            sI1, sI2, sQ1, sQ2, cs, sn = carry
+            sI1, sI2, sQ1, sQ2, cs, sn, sZI, sZQ = carry
             sl = pl.ds(k * _K, _K)
             # DC biquad chunk (reference order Process.cpp:117-175:
             # gain, DC block, IQ corr).  The K x K particular-solution
@@ -158,21 +369,58 @@ class FusedFrontEnd:
             i_c = jnp.where(pos, i_p * amp + ph * q_p, i_p * amp)
             q_c = jnp.where(pos, q_p, q_p + ph * i_c)
 
+            if z == 0:
+                # zoom x1 display tap: first _ZRES IQ-corrected samples,
+                # PRE-fs4 (Process.cpp:185-187 taps before FreqShift1)
+                @pl.when(k < _ZRES // _K)
+                def _():
+                    zsl = pl.ds(k * _K, _K)
+                    z1r_ref[0, :, zsl] = i_c
+                    z1i_ref[0, :, zsl] = q_c
+
+            if zoom_iir:
+                # zoom 2^z display tap input: fs4-shifted signal WITHOUT
+                # the NCO mix/gain (Process.cpp:212-215 taps after
+                # FreqShift1, before FreqShift2).  The whole tap —
+                # 8-pole elliptic IIR, 4-tap FIR, decimate-by-2^z — is
+                # ONE composed linear chunk operator with decimation
+                # folded in as static row selection: two matmuls on
+                # [x | state], output staged channel-major.
+                zr_c = i_c * fr - q_c * fi
+                zi_c = i_c * fi + q_c * fr
+                zi_in = jnp.concatenate([zr_c, sZI], axis=1)
+                zq_in = jnp.concatenate([zi_c, sZQ], axis=1)
+                # stage per-chunk decimated outputs under a DYNAMIC
+                # leading index (Mosaic only allows dynamic LANE-dim
+                # store offsets at 128-sample granularity); the copy to
+                # the contiguous output uses static offsets after the
+                # loop
+                zsr_ref[k] = jnp.dot(zi_in, Wy, preferred_element_type=f32)
+                zsi_ref[k] = jnp.dot(zq_in, Wy, preferred_element_type=f32)
+                sZI = jnp.dot(zi_in, Ws, preferred_element_type=f32)
+                sZQ = jnp.dot(zq_in, Ws, preferred_element_type=f32)
+
             # fs4 (exact j^n) x NCO phasor e^{-i theta} for this chunk
             tr = self.nco_gain * (fr * cs + fi * sn)
             ti = self.nco_gain * (fi * cs - fr * sn)
             xr2_ref[:, sl] = i_c * tr - q_c * ti
             xi2_ref[:, sl] = i_c * ti + q_c * tr
             return (sI1, sI2, sQ1, sQ2,
-                    cs * cd - sn * sd, sn * cd + cs * sd)
+                    cs * cd - sn * sd, sn * cd + cs * sd, sZI, sZQ)
 
         # partial unroll: UNROLL chunks per fori step — full static
         # unroll lets Mosaic pipeline best (146 us vs 177 us rolled at
         # 1024 ch) but costs ~10 min of Mosaic scheduling; 4x unroll
         # keeps most of the win at a sane compile time
         UNROLL = 4
+        if zoom_iir:
+            S = self.z_states
+            sZI0 = zs_ref[0, :, 0:S]
+            sZQ0 = zs_ref[0, :, S:2 * S]
+        else:
+            sZI0 = sZQ0 = jnp.zeros((TILE_C, 1), f32)
         carry = (dcs_ref[0, :, 0:1], dcs_ref[0, :, 1:2],
-                 dcs_ref[0, :, 2:3], dcs_ref[0, :, 3:4], cs, sn)
+                 dcs_ref[0, :, 2:3], dcs_ref[0, :, 3:4], cs, sn, sZI0, sZQ0)
 
         def outer_body(j, carry):
             for u in range(UNROLL):
@@ -180,7 +428,7 @@ class FusedFrontEnd:
             return carry
 
         carry = jax.lax.fori_loop(0, n // _K // UNROLL, outer_body, carry)
-        sI1, sI2, sQ1, sQ2, _, _ = carry
+        sI1, sI2, sQ1, sQ2, _, _, sZI, sZQ = carry
 
         xr2 = xr2_ref[:]
         xi2 = xi2_ref[:]
@@ -217,12 +465,19 @@ class FusedFrontEnd:
         yr_ref[0] = yr_t.T                 # back to (TILE_C, n2)
         yi_ref[0] = yi_t.T
 
+        if zoom_iir:
+            nzs_ref[0] = jnp.concatenate([sZI, sZQ], axis=1)
+            for c in range(n // _K):          # static-offset output copy
+                zyr_ref[0, :, c * kout:(c + 1) * kout] = zsr_ref[c]
+                zyi_ref[0, :, c * kout:(c + 1) * kout] = zsi_ref[c]
+
     # ------------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)
-    def _call(self, pp, dcs, h1r, h1i, h2r, h2i, xr, xi):
+    def _call(self, pp, dcs, h1r, h1i, h2r, h2i, xr, xi, *zoom_in):
         gdim, _, n = xr.shape
         n2 = n // C.DF
         f32 = jnp.float32
+        z = self.zoom
         ch_t = lambda d: pl.BlockSpec(  # noqa: E731
             (1, TILE_C, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         tm_t = lambda r: pl.BlockSpec(  # noqa: E731
@@ -230,45 +485,82 @@ class FusedFrontEnd:
         full = lambda *shape: pl.BlockSpec(  # noqa: E731
             shape, lambda i: tuple(0 for _ in shape),
             memory_space=pltpu.VMEM)
+
+        in_specs = [full(2, _K), full(_K, _K), full(_K, 2),
+                    ch_t(8), ch_t(4), tm_t(self.t1 - 1), tm_t(self.t1 - 1),
+                    tm_t(self.t2 - 1), tm_t(self.t2 - 1),
+                    ch_t(n), ch_t(n)]
+        out_specs = [ch_t(n2), ch_t(n2), ch_t(4), ch_t(1),
+                     tm_t(self.t1 - 1), tm_t(self.t1 - 1),
+                     tm_t(self.t2 - 1), tm_t(self.t2 - 1)]
+        out_shape = [
+            jax.ShapeDtypeStruct((gdim, TILE_C, n2), f32),
+            jax.ShapeDtypeStruct((gdim, TILE_C, n2), f32),
+            jax.ShapeDtypeStruct((gdim, TILE_C, 4), f32),
+            jax.ShapeDtypeStruct((gdim, TILE_C, 1), f32),
+            jax.ShapeDtypeStruct((gdim, self.t1 - 1, TILE_C), f32),
+            jax.ShapeDtypeStruct((gdim, self.t1 - 1, TILE_C), f32),
+            jax.ShapeDtypeStruct((gdim, self.t2 - 1, TILE_C), f32),
+            jax.ShapeDtypeStruct((gdim, self.t2 - 1, TILE_C), f32),
+        ]
+        scratch = [
+            pltpu.VMEM((self.t1 - 1 + n, TILE_C), f32),
+            pltpu.VMEM((self.t2 - 1 + n // C.DF1, TILE_C), f32),
+            pltpu.VMEM((TILE_C, n), f32),
+            pltpu.VMEM((TILE_C, n), f32),
+        ]
+        args = [jnp.asarray(self.Rt), jnp.asarray(self.Lt),
+                jnp.asarray(self.G), pp, dcs, h1r, h1i, h2r, h2i, xr, xi]
+        if z is not None and z >= 1:
+            S = self.z_states
+            nz = n // self.zfactor
+            in_specs += [full(_K + S, _K // self.zfactor),
+                         full(_K + S, S), ch_t(2 * S)]
+            args += [jnp.asarray(self.Wy), jnp.asarray(self.Ws)] \
+                + list(zoom_in)
+            out_specs += [ch_t(nz), ch_t(nz), ch_t(2 * S)]
+            out_shape += [
+                jax.ShapeDtypeStruct((gdim, TILE_C, nz), f32),
+                jax.ShapeDtypeStruct((gdim, TILE_C, nz), f32),
+                jax.ShapeDtypeStruct((gdim, TILE_C, 2 * S), f32),
+            ]
+            scratch += [
+                pltpu.VMEM((n // _K, TILE_C, _K // self.zfactor), f32),
+                pltpu.VMEM((n // _K, TILE_C, _K // self.zfactor), f32),
+            ]
+        elif z == 0:
+            out_specs += [ch_t(_ZRES), ch_t(_ZRES)]
+            out_shape += [
+                jax.ShapeDtypeStruct((gdim, TILE_C, _ZRES), f32),
+                jax.ShapeDtypeStruct((gdim, TILE_C, _ZRES), f32),
+            ]
+        q15 = xr.dtype == jnp.int16
+        if q15:
+            scratch += [pltpu.VMEM((TILE_C, n), f32)] * 2
         return pl.pallas_call(
-            functools.partial(self._kernel, n),
+            functools.partial(self._kernel, n, q15),
             grid=(gdim,),
-            in_specs=[full(2, _K), full(_K, _K), full(_K, 2),
-                      ch_t(8), ch_t(4), tm_t(self.t1 - 1), tm_t(self.t1 - 1),
-                      tm_t(self.t2 - 1), tm_t(self.t2 - 1),
-                      ch_t(n), ch_t(n)],
-            out_specs=[ch_t(n2), ch_t(n2), ch_t(4), ch_t(1),
-                       tm_t(self.t1 - 1), tm_t(self.t1 - 1),
-                       tm_t(self.t2 - 1), tm_t(self.t2 - 1)],
-            out_shape=[
-                jax.ShapeDtypeStruct((gdim, TILE_C, n2), f32),
-                jax.ShapeDtypeStruct((gdim, TILE_C, n2), f32),
-                jax.ShapeDtypeStruct((gdim, TILE_C, 4), f32),
-                jax.ShapeDtypeStruct((gdim, TILE_C, 1), f32),
-                jax.ShapeDtypeStruct((gdim, self.t1 - 1, TILE_C), f32),
-                jax.ShapeDtypeStruct((gdim, self.t1 - 1, TILE_C), f32),
-                jax.ShapeDtypeStruct((gdim, self.t2 - 1, TILE_C), f32),
-                jax.ShapeDtypeStruct((gdim, self.t2 - 1, TILE_C), f32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((self.t1 - 1 + n, TILE_C), f32),
-                pltpu.VMEM((self.t2 - 1 + n // C.DF1, TILE_C), f32),
-                pltpu.VMEM((TILE_C, n), f32),
-                pltpu.VMEM((TILE_C, n), f32),
-            ] + ([pltpu.VMEM((TILE_C, n), f32)] * 2
-                 if xr.dtype == jnp.int16 else []),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
             interpret=self.interpret,
-        )(jnp.asarray(self.Rt), jnp.asarray(self.Lt), jnp.asarray(self.G),
-          pp, dcs, h1r, h1i, h2r, h2i, xr, xi)
+        )(*args)
 
     # ------------------------------------------------------------------
-    def block(self, params, state, iq: jnp.ndarray):
+    def block(self, params, state, iq: jnp.ndarray, zoom_state=None):
         """params: ChannelParams-compatible (nco_freq, rf_gain_db,
         band_gain, iq_amp, iq_phase as (...,) arrays); state: the
         4-tuple from init_state; iq: (..., N) complex64, or an
         (i, q) pair of int16 q15 arrays (ADC format) — the kernel
         converts on load with the 1/32768 scale folded into the gain.
-        Returns (new_state, x) with x (..., N/8) complex64 at 24 kHz.
+
+        Returns (new_state, x) with x (..., N/8) complex64 at 24 kHz;
+        with zoom=0, (new_state, x, z1seg) where z1seg is the (..., 512)
+        complex IQ-corrected display segment; with zoom>=1, pass
+        zoom_state=(iir (..., 2, S, 2) f32, dec (..., zt-1) complex64)
+        and get (new_state, x, zdec, new_iir, new_dec) with zdec the
+        (..., N/2^zoom) decimated zoom stream.
         """
         dc_bq, nco_phase, dec1, dec2 = state
         q15 = isinstance(iq, (tuple, list))
@@ -303,12 +595,28 @@ class FusedFrontEnd:
         pp = chan_major(pp, 8)
         dcs = chan_major(dc_bq.reshape(-1, 4), 4)     # [s1I s2I s1Q s2Q]
 
+        zoom_in = ()
+        if self.zoom is not None and self.zoom >= 1:
+            z_iir, z_dec = zoom_state
+            S2 = 2 * self.z_stages
+            S = self.z_states
+            # composed state layout per stream: [stage0 s1,s2, ...,
+            # u[n-1], u[n-2], u[n-3]] — df2T states then the decimator
+            # history reversed (fir_state keeps oldest first); streams
+            # concatenated [I | Q]
+            dec_r = z_dec.real.reshape(-1, self.zt - 1)[:, ::-1]
+            dec_i = z_dec.imag.reshape(-1, self.zt - 1)[:, ::-1]
+            zs = jnp.concatenate(
+                [z_iir[..., 0, :, :].reshape(-1, S2), dec_r,
+                 z_iir[..., 1, :, :].reshape(-1, S2), dec_i], axis=-1)
+            zoom_in = (chan_major(zs, 2 * S),)
+
         outs = self._call(
             pp, dcs,
             time_major(dec1.real), time_major(dec1.imag),
             time_major(dec2.real), time_major(dec2.imag),
-            chan_major(xr_in, n), chan_major(xi_in, n))
-        yr, yi, ndcs, nph, nh1r, nh1i, nh2r, nh2i = outs
+            chan_major(xr_in, n), chan_major(xi_in, n), *zoom_in)
+        yr, yi, ndcs, nph, nh1r, nh1i, nh2r, nh2i = outs[:8]
 
         def from_chan(a):
             return a.reshape(gdim * TILE_C, a.shape[-1])[:c]
@@ -327,4 +635,27 @@ class FusedFrontEnd:
             (from_time(nh2r) + 1j * from_time(nh2i)
              ).astype(jnp.complex64).reshape(lead + (self.t2 - 1,)),
         )
-        return new_state, x.reshape(lead + (n2,))
+        x = x.reshape(lead + (n2,))
+        if self.zoom == 0:
+            z1r, z1i = outs[8], outs[9]
+            seg = (from_chan(z1r) + 1j * from_chan(z1i)).astype(
+                jnp.complex64).reshape(lead + (_ZRES,))
+            return new_state, x, seg
+        if self.zoom is not None:
+            zyr, zyi, nzs = outs[8:11]
+            S2 = 2 * self.z_stages
+            S = self.z_states
+            nz = n // self.zfactor
+            zdec = (from_chan(zyr) + 1j * from_chan(zyi)).astype(
+                jnp.complex64).reshape(lead + (nz,))
+            s_flat = from_chan(nzs)
+            sI, sQ = s_flat[:, :S], s_flat[:, S:]
+            new_iir = jnp.stack(
+                [sI[:, :S2].reshape(-1, self.z_stages, 2),
+                 sQ[:, :S2].reshape(-1, self.z_stages, 2)],
+                axis=1).reshape(lead + (2, self.z_stages, 2))
+            new_dec = (sI[:, S2:][:, ::-1]
+                       + 1j * sQ[:, S2:][:, ::-1]).astype(
+                jnp.complex64).reshape(lead + (self.zt - 1,))
+            return new_state, x, zdec, new_iir, new_dec
+        return new_state, x

@@ -60,6 +60,11 @@ def main() -> None:
         "pallas_q15": dict(use_pallas=True, q15_input=True),
         "pallas_q15_fe_only": dict(use_pallas=True, q15_input=True,
                                    mode="psk31", interpolate_out=False),
+        "zoom2": dict(spectrum_zoom=1),
+        "pallas_zoom1": dict(use_pallas=True, spectrum_zoom=0),
+        "pallas_zoom2": dict(use_pallas=True, spectrum_zoom=1),
+        "pallas_zoom8": dict(use_pallas=True, spectrum_zoom=3),
+        "pallas_zoom128": dict(use_pallas=True, spectrum_zoom=7),
     }
     if args.variants:
         keep = args.variants.split(",")
