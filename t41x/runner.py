@@ -36,9 +36,17 @@ class StreamRunner:
 
     def __init__(self, radio: Radio, ring: BlockRing | None = None,
                  control_server=None, cat_handler=None, slot_clock=None,
-                 channels: tuple[int, ...] = (), batch_blocks: int = 1):
+                 channels: tuple[int, ...] = (), batch_blocks: int = 1,
+                 display_every: int = 4):
         self.channels = tuple(channels)
         self.batch_blocks = int(batch_blocks)
+        # batched mode: publish display taps every Nth dispatch — the
+        # reference's updateDisplayFlag refreshes the panadapter once
+        # per screen pass, not per DSP block (Display.cpp:261-267); on
+        # a remote transport every device->host FETCH is a ~25 ms
+        # roundtrip, so per-batch tap fetches would dominate the budget
+        self.display_every = int(display_every)
+        self._batch_count = 0
         n_floats = 2 * C.BLOCK_SIZE
         for d in self.channels:
             n_floats *= d
@@ -68,21 +76,31 @@ class StreamRunner:
         if key != self._spec_key:
             import jax
 
-            self._state = chain.init_state(self.channels)
+            from t41x.utils import creal
+
+            # complex-free jit boundary: the axon TPU runtime cannot
+            # execute programs with complex argument/result buffers;
+            # state stays CPair-encoded across calls (t41x.utils.creal)
+            self._state = creal.csplit(chain.init_state(self.channels))
             self._spec_key = key
             # one compiled graph per chain spec: the eager per-op path
             # misses real time by >100x on CPU; jitted it runs in ~1/3
             # of the 10.67 ms block budget
-            self._block_fn = jax.jit(chain.block)
+            self._block_fn = creal.cjit(chain.block)
             if self.batch_blocks > 1:
                 def batch_fn(params, st, blocks):
                     def body(st, blk):
                         st, out = chain.block(params, st, blk)
                         return st, out
 
-                    return jax.lax.scan(body, st, blocks)
+                    st, outs = jax.lax.scan(body, st, blocks)
+                    # one tiny leaf to FETCH as the execution sync --
+                    # block_until_ready can resolve before remote
+                    # execution completes, a value fetch cannot
+                    outs["sync"] = jax.numpy.sum(outs["audio_24k"][-1])
+                    return st, outs
 
-                self._batch_fn = jax.jit(batch_fn)
+                self._batch_fn = creal.cjit(batch_fn)
             if chain.spec.mode == "cw":
                 from t41x.decode.cw_text import MorseDecoder
 
@@ -101,23 +119,28 @@ class StreamRunner:
         import jax
         import jax.numpy as jnp
 
+        from t41x.utils import creal
+
         self._ensure_chain()
         params = self.radio.params(self.channels)
         if self.batch_blocks > 1:
             st, outs = self._batch_fn(
                 params, self._state,
-                jnp.zeros((self.batch_blocks,) + self.channels
-                          + (C.BLOCK_SIZE,), jnp.complex64))
+                creal.csplit(np.zeros((self.batch_blocks,) + self.channels
+                                      + (C.BLOCK_SIZE,), np.complex64)))
             jax.block_until_ready(outs["audio_24k"])
             return
-        st, out = self._block_fn(params, self._state,
-                                 jnp.zeros(self.channels + (C.BLOCK_SIZE,),
-                                           jnp.complex64))
+        st, out = self._block_fn(
+            params, self._state,
+            creal.csplit(np.zeros(self.channels + (C.BLOCK_SIZE,),
+                                  np.complex64)))
         jax.block_until_ready(out["audio_24k"])
 
     def step(self) -> dict | None:
         """Process one block from the ring (None if ring empty)."""
         import jax.numpy as jnp
+
+        from t41x.utils import creal
 
         block = self.ring.pop_iq()
         if block is None:
@@ -127,7 +150,7 @@ class StreamRunner:
         params = self.radio.params(self.channels)
         self.load.begin()
         self._state, out = self._block_fn(params, self._state,
-                                          jnp.asarray(block))
+                                          creal.csplit(block))
         out["audio_24k"].block_until_ready()
         self.load.end()
         self.blocks_processed += 1
@@ -170,6 +193,8 @@ class StreamRunner:
         import jax
         import jax.numpy as jnp
 
+        from t41x.utils import creal
+
         if self.ring.available() < self.batch_blocks:
             return None
         blocks = np.stack([
@@ -179,35 +204,42 @@ class StreamRunner:
         params = self.radio.params(self.channels)
         self.load.begin()
         self._state, outs = self._batch_fn(params, self._state,
-                                           jnp.asarray(blocks))
-        outs["audio_24k"].block_until_ready()
+                                           creal.csplit(blocks))
+        float(outs["sync"])               # one-roundtrip execution sync
         self.load.end(self.batch_blocks)
         self.blocks_processed += self.batch_blocks
+        self._batch_count += 1
 
         results = {"load_percent": self.load.percent}
-        audio = np.asarray(outs["audio_24k"])       # (B, ..., 256)
+        need_audio = (self.keep_audio or self._morse is not None
+                      or self._ft8_slots is not None)
+        if need_audio:
+            audio = np.asarray(outs["audio_24k"])   # (B, ..., 256)
         if self.keep_audio:
             self.audio_chunks.append(
                 np.moveaxis(audio, 0, -2).reshape(self.channels + (-1,)))
-        out_last = {k: np.asarray(v)[-1] for k, v in outs.items()}
         ch0 = (0,) * len(self.channels)
-        if "rf_spectrum" in out_last:
-            self.last_rf_spectrum_db = 10 * np.log10(
-                np.asarray(out_last["rf_spectrum"])[ch0] + 1e-12)
-            if self.control is not None:
-                self.control.publish_rf_spectrum(self.last_rf_spectrum_db)
-        if "audio_spectrum" in out_last:
-            self.last_audio_spectrum = np.asarray(
-                out_last["audio_spectrum"])[ch0]
-        if "smeter_avg" in out_last:
-            from t41x.dsp.spectrum import smeter_dbm
+        if self._batch_count % self.display_every == 0:
+            out_last = {k: np.asarray(v)[-1] for k, v in outs.items()
+                        if hasattr(v, "dtype") and v.ndim > 0}
+            if "rf_spectrum" in out_last:
+                self.last_rf_spectrum_db = 10 * np.log10(
+                    np.asarray(out_last["rf_spectrum"])[ch0] + 1e-12)
+                if self.control is not None:
+                    self.control.publish_rf_spectrum(
+                        self.last_rf_spectrum_db)
+            if "audio_spectrum" in out_last:
+                self.last_audio_spectrum = np.asarray(
+                    out_last["audio_spectrum"])[ch0]
+            if "smeter_avg" in out_last:
+                from t41x.dsp.spectrum import smeter_dbm
 
-            dbm = float(smeter_dbm(out_last["smeter_avg"][ch0]))
-            self.last_smeter_dbm = dbm
-            if self.control is not None:
-                self.control.publish_smeter(dbm)
-            if self.cat is not None:
-                self.cat.smeter_dbm = dbm
+                dbm = float(smeter_dbm(out_last["smeter_avg"][ch0]))
+                self.last_smeter_dbm = dbm
+                if self.control is not None:
+                    self.control.publish_smeter(dbm)
+                if self.cat is not None:
+                    self.cat.smeter_dbm = dbm
         if self._morse is not None and "cw_keyed" in outs:
             keyed = np.asarray(outs["cw_keyed"])      # (B, ...)
             text = self._morse.feed([bool(k[ch0]) for k in keyed])
