@@ -164,3 +164,41 @@ def test_smeter_dbm_scale():
     np.testing.assert_allclose(d2 - d1, 10.0, atol=1e-4)
     # formula value with defaults: 22 + 10*log10(40) - 92 - 1.5 = -55.48
     np.testing.assert_allclose(d1, -55.48, atol=0.01)
+
+
+def test_eq_matches_per_band_biquad_oracle():
+    """The composed chunk-operator EQ (one matmul pair per 32-sample
+    chunk) is sample-exact vs straightforward per-band df2T cascades
+    (iir.biquad_apply) with the alternating signs and gains, streamed
+    over blocks with carried state."""
+    import jax.numpy as jnp
+
+    from t41x.dsp import eq as eq_mod, iir
+
+    rng = np.random.default_rng(17)
+    ch, n, blocks = 3, 256, 3
+    eq = eq_mod.EQDesign()
+    gains = rng.random((ch, eq_mod.NUM_BANDS)).astype(np.float32)
+    x = rng.standard_normal((ch, blocks * n)).astype(np.float32) * 0.3
+
+    st = jnp.asarray(eq.init_state((ch,)))
+    st_ref = np.zeros((ch, eq_mod.NUM_BANDS, eq.stages, 2), np.float32)
+    signs = np.asarray([(-1.0) ** (i + 1) * -1.0
+                        for i in range(eq_mod.NUM_BANDS)], np.float32)
+    for bi in range(blocks):
+        blk = x[:, bi * n:(bi + 1) * n]
+        st, y = eq.apply(st, jnp.asarray(blk), jnp.asarray(gains))
+        # oracle: each band's cascade independently
+        y_ref = np.zeros_like(blk)
+        new_ref = np.empty_like(st_ref)
+        for b in range(eq_mod.NUM_BANDS):
+            sb, yb = iir.biquad_apply(jnp.asarray(st_ref[:, b]),
+                                      jnp.asarray(blk),
+                                      eq.b[b], eq.a[b])
+            new_ref[:, b] = np.asarray(sb)
+            y_ref += signs[b] * gains[:, b:b + 1] * np.asarray(yb)
+        st_ref = new_ref
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"block {bi}")
+    np.testing.assert_allclose(np.asarray(st).reshape(st_ref.shape),
+                               st_ref, rtol=2e-3, atol=2e-4)
