@@ -422,7 +422,9 @@ class RxChain:
         # --- noise reduction (Process.cpp:841-858) -----------------------
         nr_state = state.nr
         if spec.nr_mode == 1:
-            nr_state, audio = nr_mod.kim_nr(self.kim_params, nr_state, audio)
+            nr_state, audio = nr_mod.kim_nr(self.kim_params, nr_state,
+                                            audio,
+                                            use_pallas=spec.use_pallas)
         elif spec.nr_mode == 2:
             nr_state, audio = nr_mod.spectral_nr(self.spectral_nr_params,
                                                  nr_state, audio)

@@ -96,15 +96,19 @@ def kim_params(f_lo: float = 200.0, f_hi: float = 3000.0,
 class KimState(NamedTuple):
     last_sample: jnp.ndarray   # (..., 128) input history
     last_ifft: jnp.ndarray     # (..., 128) overlap-add tail
-    X: jnp.ndarray             # (..., 128, 3) power ring (order-free)
-    E: jnp.ndarray             # (..., 128, 15) 3-frame-avg ring
+    X: jnp.ndarray             # (..., 3, 128) power ring (order-free)
+    E: jnp.ndarray             # (..., 15, 128) 3-frame-avg ring
     Gts: jnp.ndarray           # (..., 128) time-smoothed gain
     idx: jnp.ndarray           # (...,) int32 frame counter (ring cursor)
 
 
 def kim_state(channels: tuple[int, ...] = ()) -> KimState:
+    """Ring slots lead the bin axis ((..., slots, 128)) so each slot is
+    a contiguous lane vector — the layout the Pallas gain kernel and
+    the XLA path share.  (Changed from (..., 128, slots) in r4: old
+    DSP-state checkpoints fail to load with a clear shape error.)"""
     z = lambda *s: np.zeros(channels + s, np.float32)  # noqa: E731
-    return KimState(z(HOP), z(HOP), z(HOP, 3), z(HOP, 15), z(HOP),
+    return KimState(z(HOP), z(HOP), z(3, HOP), z(15, HOP), z(HOP),
                     np.zeros(channels, np.int32))
 
 
@@ -121,11 +125,11 @@ def _kim_gain(p: KimParams, gst, power):
     X0, E0, Gts0, idx = gst
     cursor = idx.reshape(-1)[0]
     X = jax.lax.dynamic_update_index_in_dim(
-        X0, power, jnp.mod(cursor, 3), axis=-1)
-    E_new = jnp.mean(X, axis=-1)
+        X0, power, jnp.mod(cursor, 3), axis=-2)
+    E_new = jnp.mean(X, axis=-2)
     E = jax.lax.dynamic_update_index_in_dim(
-        E0, E_new, jnp.mod(cursor, 15), axis=-1)
-    M = jnp.min(E, axis=-1)
+        E0, E_new, jnp.mod(cursor, 15), axis=-2)
+    M = jnp.min(E, axis=-2)
 
     T = power / jnp.maximum(M, 1e-30)
     lam = jnp.where(T > p.psi, M, E_new)
@@ -144,12 +148,11 @@ def _kim_gain(p: KimParams, gst, power):
     left = jnp.concatenate([Gts[..., :1], Gts[..., :-1]], axis=-1)
     right = jnp.concatenate([Gts[..., 1:], Gts[..., -1:]], axis=-1)
     Gs = b * left + omb * Gts + b * right
-
-    full_gain = jnp.concatenate([Gs, Gs[..., ::-1]], axis=-1)
-    return (X, E, Gts, idx + 1), full_gain
+    return (X, E, Gts, idx + 1), Gs
 
 
-def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
+def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray,
+           use_pallas: bool = False):
     """x: (..., 256) audio block at 24 kHz.  Returns (state, y).
 
     Latency structure: the two overlapped hops' FORWARD transforms
@@ -162,7 +165,9 @@ def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
     window = jnp.asarray(_hann())
     frame0 = jnp.concatenate([st.last_sample, x[..., :HOP]], axis=-1)
     frames = jnp.stack([frame0 * window, x * window], axis=0)
-    sr, si = mxu_fft.rdft_pair(frames)
+    # half-spectrum transforms: real frames and real gain masks make
+    # the upper 128 bins redundant — half the DFT matmul flops
+    sr, si = mxu_fft.rdft_half(frames)              # (2, ..., 129)
     powers = (sr ** 2 + si ** 2)[..., :HOP]
 
     # NOTE lockstep invariant: _kim_gain drives its ring cursor from
@@ -172,11 +177,28 @@ def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray):
     # from different checkpoints); re-init the Kim state instead.  The
     # ring consumers (mean/min) are order-free, so a common cursor of
     # any value is safe, only cross-channel divergence is not.
-    gst, fg0 = _kim_gain(p, (st.X, st.E, st.Gts, st.idx), powers[0])
-    (X, E, Gts, idx), fg1 = _kim_gain(p, gst, powers[1])
+    if use_pallas:
+        # both hops' gain recursions (incl. the minimum-statistics ring
+        # rewrites) in one Pallas program — the XLA form materializes
+        # the rings twice per block (t41x.kernels.nr_gain_pallas)
+        from t41x.kernels.nr_gain_pallas import kim_gains_pallas
 
-    fg = jnp.stack([fg0, fg1], axis=0)
-    outs = mxu_fft.irdft_real(sr * fg, si * fg)
+        (X, E, Gts, idx), gs = kim_gains_pallas(
+            p, (st.X, st.E, st.Gts, st.idx), powers)
+    else:
+        gst, g0 = _kim_gain(p, (st.X, st.E, st.Gts, st.idx), powers[0])
+        (X, E, Gts, idx), g1 = _kim_gain(p, gst, powers[1])
+        gs = jnp.stack([g0, g1], axis=0)
+    # Half-spectrum equivalent of the reference's mirror
+    # (Noise.cpp:265-270 applies G[i] to bin i AND bin 255-i — an
+    # off-by-one "conjugate" map): for a symmetric input spectrum the
+    # paired bins k and n-k share the SAME basis term, so the exact
+    # effective half-spectrum gain is the average (G[k]+G[k-1])/2 with
+    # G[0] at DC and G[127] at Nyquist — bit-faithful to the full form.
+    mid = 0.5 * (gs[..., 1:] + gs[..., :-1])
+    fg = jnp.concatenate([gs[..., :1], mid, gs[..., HOP - 1: HOP]],
+                         axis=-1)
+    outs = mxu_fft.irdft_half_real(sr * fg, si * fg)
     a0 = outs[0][..., :HOP] + st.last_ifft
     a1 = outs[1][..., :HOP] + outs[0][..., HOP:]
     new_st = KimState(x[..., HOP:], outs[1][..., HOP:], X, E, Gts, idx)
@@ -293,9 +315,7 @@ def _spectral_gain(p: SpectralParams, gst, X):
             nn_idx == 1, G3, jnp.where(
                 nn_idx == 2, G5, jnp.where(nn_idx == 3, G7, G9))))
     G = jnp.where(in_band, G_sm, G)
-
-    full_gain = jnp.concatenate([G, G[..., ::-1]], axis=-1)
-    return (xt, pslp, hk_old, frames_c + 1), full_gain, initializing
+    return (xt, pslp, hk_old, frames_c + 1), G, initializing
 
 
 def spectral_nr(p: SpectralParams, st: SpectralState, x: jnp.ndarray):
@@ -308,16 +328,21 @@ def spectral_nr(p: SpectralParams, st: SpectralState, x: jnp.ndarray):
     window = jnp.asarray(_sqrt_hann())
     frame0 = jnp.concatenate([st.last_sample, x[..., :HOP]], axis=-1)
     frames = jnp.stack([frame0 * window, x * window], axis=0)
-    sr, si = mxu_fft.rdft_pair(frames)
+    # half-spectrum transforms (see kim_nr): half the DFT matmul flops
+    sr, si = mxu_fft.rdft_half(frames)
     powers = (sr ** 2 + si ** 2)[..., :HOP]
 
-    gst, fg0, init0 = _spectral_gain(
+    gst, g0, init0 = _spectral_gain(
         p, (st.xt, st.pslp, st.hk_old, st.frames), powers[0])
-    (xt, pslp, hk_old, frames_n), fg1, init1 = _spectral_gain(
+    (xt, pslp, hk_old, frames_n), g1, init1 = _spectral_gain(
         p, gst, powers[1])
 
-    fg = jnp.stack([fg0, fg1], axis=0)
-    outs = mxu_fft.irdft_real(sr * fg, si * fg) * window
+    gs = jnp.stack([g0, g1], axis=0)
+    # reference-mirror half-spectrum gains (see kim_nr)
+    mid = 0.5 * (gs[..., 1:] + gs[..., :-1])
+    fg = jnp.concatenate([gs[..., :1], mid, gs[..., HOP - 1: HOP]],
+                         axis=-1)
+    outs = mxu_fft.irdft_half_real(sr * fg, si * fg) * window
     a0 = outs[0][..., :HOP] + st.last_ifft
     a1 = outs[1][..., :HOP] + outs[0][..., HOP:]
     # during init, pass audio through untouched

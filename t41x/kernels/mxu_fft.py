@@ -136,6 +136,34 @@ def irdft_real(xr: jnp.ndarray, xi: jnp.ndarray):
             - jnp.matmul(xi, jnp.asarray(sin_m), precision=_PREC)) / n
 
 
+def rdft_half(x: jnp.ndarray):
+    """Real-input DFT, bins 0..n/2 only ((..., n/2+1) each) — half the
+    matmul flops of `rdft_pair`; the upper bins are redundant for real
+    input (Xr symmetric, Xi anti-symmetric)."""
+    n = x.shape[-1]
+    h = n // 2 + 1
+    cos_m, sin_m = _rdft_mats(n)
+    xr = jnp.matmul(x, jnp.asarray(cos_m[:, :h]), precision=_PREC)
+    xi = -jnp.matmul(x, jnp.asarray(sin_m[:, :h]), precision=_PREC)
+    return xr, xi
+
+
+def irdft_half_real(xr: jnp.ndarray, xi: jnp.ndarray):
+    """Real inverse DFT from the HALF spectrum (bins 0..n/2), assuming
+    the implied conjugate-symmetric extension (exact when the half
+    spectrum came from a real signal scaled by real gains):
+    y[t] = (1/n) * sum_k w_k (Xr_k cos - Xi_k sin), w = [1, 2...2, 1]."""
+    h = xr.shape[-1]
+    n = 2 * (h - 1)
+    cos_m, sin_m = _rdft_mats(n)
+    w = np.ones((h, 1), np.float32)
+    w[1:-1] = 2.0
+    Cw = (w * cos_m[:h]).astype(np.float32)    # (h, n)
+    Sw = (w * sin_m[:h]).astype(np.float32)
+    return (jnp.matmul(xr, jnp.asarray(Cw), precision=_PREC)
+            - jnp.matmul(xi, jnp.asarray(Sw), precision=_PREC)) / n
+
+
 def rfft(x: jnp.ndarray, n: int | None = None, axis: int = -1) -> jnp.ndarray:
     """Real-input DFT, first n//2+1 bins (np.fft.rfft semantics)."""
     assert axis in (-1, x.ndim - 1), "mxu_fft supports last-axis only"

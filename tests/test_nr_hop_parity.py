@@ -106,10 +106,14 @@ def test_kim_nr_matches_per_hop_reference():
                                    atol=2e-4, err_msg=f"block {bi}")
     # carried state must agree too (rings vs shift registers: compare
     # order-free reductions, the smoothed gain, and the OLA tail)
-    np.testing.assert_allclose(np.sort(np.asarray(st.X), -1),
-                               np.sort(naive.X, -1), rtol=2e-3, atol=1e-5)
-    np.testing.assert_allclose(np.sort(np.asarray(st.E), -1),
-                               np.sort(naive.E, -1), rtol=2e-3, atol=1e-5)
+    # t41x stores rings slot-leading ((..., slots, bins)); the naive
+    # shift registers are (..., bins, slots) — compare order-free
+    np.testing.assert_allclose(
+        np.sort(np.moveaxis(np.asarray(st.X), -2, -1), -1),
+        np.sort(naive.X, -1), rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.sort(np.moveaxis(np.asarray(st.E), -2, -1), -1),
+        np.sort(naive.E, -1), rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(st.Gts), naive.Gts,
                                rtol=2e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(st.last_ifft), naive.last_ifft,

@@ -148,3 +148,29 @@ def test_sam_pallas_matches_scan_path():
         np.testing.assert_allclose(
             np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
             rtol=1e-5, atol=1e-5, err_msg=f)
+
+
+def test_kim_gains_pallas_matches_xla_path():
+    """Both hops' Kim gain recursions in one Pallas program (ring
+    rewrites in VMEM) — matches the chained _kim_gain XLA path over
+    streamed blocks, across the 15-slot ring wraparound."""
+    import jax
+
+    from t41x.dsp import nr as NR
+
+    p = NR.kim_params(200.0, 3000.0)
+    rng = np.random.default_rng(23)
+    ch, blocks = 5, 9   # 18 hops > 15-slot ring
+    st_s = jax.tree.map(jnp.asarray, NR.kim_state((ch,)))
+    st_p = st_s
+    for bi in range(blocks):
+        x = rng.standard_normal((ch, 256)).astype(np.float32) * 0.3
+        st_s, y_s = NR.kim_nr(p, st_s, jnp.asarray(x))
+        st_p, y_p = NR.kim_nr(p, st_p, jnp.asarray(x), use_pallas=True)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"block {bi}")
+    for f in st_s._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
+            rtol=1e-5, atol=1e-6, err_msg=f)
