@@ -91,8 +91,12 @@ _jit_llr_bp = jax.jit(_llr_bp, static_argnums=2)
 # Candidate score floor: the reference rejects sync candidates scoring
 # below 40 (`find_sync` threshold, `ft8.cpp:374`).  t41x's score scale
 # (mean over the 21 Costas symbols of 8*P[tone]-sum(P), dB waterfall)
-# was calibrated against synthetic slots: pure-noise slots top out
-# around 32, real signals down to -20 dB SNR score above 55.
+# was calibrated against synthetic slots AT THE DEFAULT GEOMETRY
+# (rate=24000, base_bin_hz=TONE_SPACING): pure-noise slots top out
+# around 32, real signals down to -20 dB SNR score above 55.  A
+# different rate/base_bin_hz shifts the per-bin noise power and with it
+# the score scale, so the adaptive path disables the floor (decodes the
+# full pool) when the geometry is non-default — see decode_audio.
 SCORE_FLOOR = 40.0
 _K_POOL = 96
 _K_BUCKETS = (12, 24, 48, 96)
@@ -121,6 +125,12 @@ def decode_audio(audio: np.ndarray, k_candidates: int | None = None,
         cands, result = _jit_pipeline(jnp.asarray(audio, jnp.float32),
                                       k_candidates, bp_iters)
     else:
+        if (rate, base_bin_hz) != (24000.0, waterfall.TONE_SPACING) \
+                and score_floor == SCORE_FLOOR:
+            # the default floor is calibrated for the default waterfall
+            # geometry only; on a non-default geometry silently
+            # returning [] would be wrong — decode the full pool instead
+            score_floor = -np.inf
         wf, pool = _jit_wf_pool(jnp.asarray(audio, jnp.float32), _K_POOL)
         pool_scores = fetch(pool.score)
         n_above = int(np.sum(pool_scores >= score_floor))

@@ -223,10 +223,11 @@ class OperatorSession:
                     f"{' (off)' if cfg.mic_compression < 0 else ''}")
         it = iter(args)
         for key in it:
-            if key == "gain":
-                self.radio.set_mic_gain(int(next(it)))
-            elif key == "comp":
-                self.radio.set_mic_compression(float(next(it)))
+            val = next(it, None) if key in ("gain", "comp") else None
+            if key == "gain" and val is not None:
+                self.radio.set_mic_gain(int(val))
+            elif key == "comp" and val is not None:
+                self.radio.set_mic_compression(float(val))
             else:
                 raise ValueError("usage: mic [gain <db>] [comp <ratio>]")
         return self._mic([])

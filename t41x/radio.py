@@ -213,10 +213,11 @@ class Radio:
                 cw_filter_index=cfg.cw_filter_index,
                 cw_tone_hz=cfg.cw_sidetone_hz,
                 interpolate_out=False,
-                # production fast path on accelerators; CPU keeps the
-                # XLA path (the Pallas interpreter is for parity tests,
-                # not live streaming)
-                use_pallas=jax.default_backend() != "cpu",
+                # production fast path on TPU only: the kernels are
+                # Mosaic-TPU (pltpu memory spaces) and would fail to
+                # compile on GPU; CPU keeps the XLA path (the Pallas
+                # interpreter is for parity tests, not live streaming)
+                use_pallas=jax.default_backend() == "tpu",
             )
             self._chain = RxChain(spec)
             self._chain_spec = spec

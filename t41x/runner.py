@@ -87,20 +87,23 @@ class StreamRunner:
             # misses real time by >100x on CPU; jitted it runs in ~1/3
             # of the 10.67 ms block budget
             self._block_fn = creal.cjit(chain.block)
-            if self.batch_blocks > 1:
-                def batch_fn(params, st, blocks):
-                    def body(st, blk):
-                        st, out = chain.block(params, st, blk)
-                        return st, out
 
-                    st, outs = jax.lax.scan(body, st, blocks)
-                    # one tiny leaf to FETCH as the execution sync --
-                    # block_until_ready can resolve before remote
-                    # execution completes, a value fetch cannot
-                    outs["sync"] = jax.numpy.sum(outs["audio_24k"][-1])
-                    return st, outs
+            # built unconditionally: step_batch() is a public method and
+            # must work at batch_blocks == 1 too (a scan over one block;
+            # compilation is lazy, so an unused batch_fn costs nothing)
+            def batch_fn(params, st, blocks):
+                def body(st, blk):
+                    st, out = chain.block(params, st, blk)
+                    return st, out
 
-                self._batch_fn = creal.cjit(batch_fn)
+                st, outs = jax.lax.scan(body, st, blocks)
+                # one tiny leaf to FETCH as the execution sync --
+                # block_until_ready can resolve before remote
+                # execution completes, a value fetch cannot
+                outs["sync"] = jax.numpy.sum(outs["audio_24k"][-1])
+                return st, outs
+
+            self._batch_fn = creal.cjit(batch_fn)
             if chain.spec.mode == "cw":
                 from t41x.decode.cw_text import MorseDecoder
 

@@ -14,6 +14,7 @@ human-inspectable.
 from __future__ import annotations
 
 import json
+import warnings
 
 import jax
 import numpy as np
@@ -55,12 +56,14 @@ def load_state(path: str, template):
         leaves_t = jax.tree_util.tree_flatten_with_path(template)
         paths = [("s:" + _path_str(kp)) for kp, _ in leaves_t[0]]
         new_leaves = []
+        defaulted: list[str] = []
         for key, (kp, leaf) in zip(paths, leaves_t[0]):
             if key not in z:
                 # forward compatibility: a state field added after the
                 # checkpoint was written (e.g. KimState.idx) falls back
                 # to the template's init value instead of a KeyError
                 new_leaves.append(np.asarray(leaf))
+                defaulted.append(key)
                 continue
             arr = z[key]
             expect = np.asarray(leaf)
@@ -69,5 +72,13 @@ def load_state(path: str, template):
                     f"checkpoint mismatch at {key}: {arr.shape} vs "
                     f"{expect.shape}")
             new_leaves.append(arr.astype(expect.dtype))
+        if defaulted:
+            # loud, not silent: a field RENAME looks identical to a field
+            # addition from here (old key ignored as extra, new key
+            # defaulted) — surface the list so it can't slip through
+            warnings.warn(
+                f"checkpoint {path!r} missing {len(defaulted)} state "
+                f"field(s), substituting template init values: "
+                f"{', '.join(defaulted)}", stacklevel=2)
         state = jax.tree_util.tree_unflatten(leaves_t[1], new_leaves)
     return state, meta

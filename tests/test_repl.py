@@ -264,3 +264,16 @@ def test_operator_favorites_recall():
     assert radio.config.band.name == "20M"
 
     assert "error" in session.execute("fav 9")  # empty slot
+
+
+def test_operator_mic_missing_value_prints_usage():
+    """'mic gain' with no value must produce the usage error, not leak
+    StopIteration out of the REPL (r4 advisor finding, repl.py)."""
+    radio = Radio()
+    runner = StreamRunner(radio)
+    session = OperatorSession(runner)
+    out = session.execute("mic gain")
+    assert out.startswith("error:") and "usage: mic" in out
+    out = session.execute("mic comp")
+    assert out.startswith("error:") and "usage: mic" in out
+    assert radio.config.mic_gain == 10  # default untouched

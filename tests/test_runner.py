@@ -73,3 +73,20 @@ def test_runner_band_change_mid_stream():
     # second half demodulates the LSB tone
     snr = signals.tone_fit_snr(audio[-1500:], [700.0], C.AUDIO_RATE)
     assert snr > 15.0, snr
+
+
+def test_runner_step_batch_default_batch_size():
+    """step_batch() is public and must work at batch_blocks == 1 (the
+    default) — regression for the r4 advisor finding (runner.py)."""
+    radio = Radio()
+    runner = StreamRunner(radio)           # batch_blocks defaults to 1
+    runner.keep_audio = True
+    iq = signals.usb_signal([1000.0], 4 * C.BLOCK_SIZE) * 0.25
+    for b in range(4):
+        runner.ring.push(np.ascontiguousarray(
+            iq[b * C.BLOCK_SIZE:(b + 1) * C.BLOCK_SIZE]).view(np.float32))
+    for _ in range(4):
+        res = runner.step_batch()
+        assert res is not None and "load_percent" in res
+    assert runner.step_batch() is None     # ring drained
+    assert runner.blocks_processed == 4
