@@ -17,6 +17,15 @@ import json
 import sys
 
 
+def _ft8_line(d) -> str:
+    """One decode line like the reference's message display
+    (`ft8.cpp:900-905`: SNR, distance, message)."""
+    dist = f"{d.distance_km:6.0f} km" if d.distance_km is not None \
+        else "      - "
+    return (f"{d.freq_hz:7.1f} Hz  {d.snr_db:+5.1f} dB  {dist}  "
+            f"{d.text}")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="t41x")
     ap.add_argument("--config", default=None,
@@ -124,8 +133,8 @@ def main(argv=None) -> int:
                 data = np.interp(t_out, np.arange(len(data)) / rate,
                                  data).astype(np.float32)
             from t41x.decode.ft8 import decode as ft8dec
-            for d in ft8dec.decode_audio(data):
-                print(f"{d.freq_hz:7.1f} Hz  score {d.score:6.1f}  {d.text}")
+            for d in ft8dec.decode_audio(data, my_grid=cfg.my_grid):
+                print(_ft8_line(d))
             if args.config:
                 cfg.save(args.config)
             return 0
@@ -175,7 +184,7 @@ def main(argv=None) -> int:
                 print(display.ascii_spectrum(spec_db[-1]))
     elif args.cmd == "ft8":
         for d in radio.decode_ft8(iq):
-            print(f"{d.freq_hz:7.1f} Hz  score {d.score:6.1f}  {d.text}")
+            print(_ft8_line(d))
     elif args.cmd == "cw":
         print(radio.decode_cw(iq))
     elif args.cmd == "psk31":

@@ -25,6 +25,38 @@ class Decoded:
     time_offset: int
     freq_hz: float
     bits77: np.ndarray
+    snr_db: float = 0.0        # calibrated estimate, WSJT-X 2.5 kHz conv.
+    distance_km: float | None = None  # great-circle to the msg grid
+
+
+# Score -> SNR calibration (the reference's analog is
+# SNR = (score-160)/6 on ITS byte-waterfall score scale, ft8.cpp:874).
+# t41x's fit comes from the clean-channel sensitivity sweep
+# (tools/ft8_sensitivity.py, FT8_SENS.json): mean sync score of decoded
+# signals vs true synthetic SNR in the 2.5 kHz bandwidth convention,
+# least-squares over -18..-10 dB with the rectangular-window waterfall.
+SNR_SLOPE = 0.2058
+SNR_INTERCEPT = -31.15
+
+
+def score_to_snr_db(score: float) -> float:
+    """Calibrated per-decode SNR estimate from the sync score, clamped
+    to the plausible FT8 reporting range like WSJT-X's -24..+49."""
+    return float(np.clip(SNR_SLOPE * score + SNR_INTERCEPT, -24.0, 49.0))
+
+
+def grid_of_message(text: str) -> str | None:
+    """The 4-char Maidenhead grid of a standard message, if it carries
+    one (reference: ft8_decode unpacks field3 and calls Target_Distance
+    when it looks like a grid, ft8.cpp:830-874)."""
+    parts = text.strip().split()
+    if not parts:
+        return None
+    g = parts[-1]
+    if (len(g) == 4 and "A" <= g[0] <= "R" and "A" <= g[1] <= "R"
+            and g[2].isdigit() and g[3].isdigit() and g != "RR73"):
+        return g
+    return None
 
 
 def extract_llrs(wf: jnp.ndarray, cands: sync.Candidates,
@@ -92,8 +124,10 @@ _jit_llr_bp = jax.jit(_llr_bp, static_argnums=2)
 # below 40 (`find_sync` threshold, `ft8.cpp:374`).  t41x's score scale
 # (mean over the 21 Costas symbols of 8*P[tone]-sum(P), dB waterfall)
 # was calibrated against synthetic slots AT THE DEFAULT GEOMETRY
-# (rate=24000, base_bin_hz=TONE_SPACING): pure-noise slots top out
-# around 32, real signals down to -20 dB SNR score above 55.  A
+# (rate=24000, base_bin_hz=TONE_SPACING, rectangular window): pure-noise
+# slots top out around 38, real signals at the -18 dB decode threshold
+# score ~57-64 (FT8_SENS.json); heavily FADED signals can dip to ~33
+# near threshold — the floor trades those against noise-pool BP work.  A
 # different rate/base_bin_hz shifts the per-bin noise power and with it
 # the score scale, so the adaptive path disables the floor (decodes the
 # full pool) when the geometry is non-default — see decode_audio.
@@ -106,7 +140,8 @@ def decode_audio(audio: np.ndarray, k_candidates: int | None = None,
                  bp_iters: int = 25, rate: float = 24000.0,
                  base_bin_hz: float = waterfall.TONE_SPACING,
                  hashes: message.CallHashTable | None = None,
-                 score_floor: float = SCORE_FLOOR) -> list[Decoded]:
+                 score_floor: float = SCORE_FLOOR,
+                 my_grid: str | None = None) -> list[Decoded]:
     """Demodulated USB audio (15 s slot at 24 kHz) -> decoded messages.
 
     k_candidates=None (default) adapts the candidate count to band
@@ -118,7 +153,10 @@ def decode_audio(audio: np.ndarray, k_candidates: int | None = None,
     fixed candidate count.
 
     Pass a `CallHashTable` kept across slots to resolve `<hashed>`
-    calls in type-4 messages."""
+    calls in type-4 messages.  Pass `my_grid` (the station locator,
+    config.my_grid) to get `distance_km` on decodes that carry a grid
+    (reference `set_Station_Coordinates` + `Target_Distance`,
+    locator.cpp:30-45)."""
     from t41x.utils.transfer import fetch
 
     if k_candidates is not None:
@@ -159,11 +197,20 @@ def decode_audio(audio: np.ndarray, k_candidates: int | None = None,
         if text in seen:
             continue
         seen.add(text)
+        dist = None
+        if my_grid:
+            g = grid_of_message(text)
+            if g is not None:
+                from t41x.decode import locator
+
+                dist = round(locator.distance_km(my_grid, g), 0)
         out.append(Decoded(
             text=text,
             score=float(scores[i]),
             time_offset=int(dts[i]),
             freq_hz=float(dfs[i] * base_bin_hz + fsub[i] * base_bin_hz / 2),
             bits77=b[:77],
+            snr_db=score_to_snr_db(float(scores[i])),
+            distance_km=dist,
         ))
     return out

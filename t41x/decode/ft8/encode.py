@@ -52,11 +52,17 @@ def encode(message: str) -> np.ndarray:
 
 def synth_audio(tones: np.ndarray, base_freq: float = 1000.0,
                 rate: float = C.AUDIO_RATE, amp: float = 0.5,
-                gfsk: bool = True) -> np.ndarray:
+                gfsk: bool = True, drift_hz: float = 0.0) -> np.ndarray:
     """Tones -> real audio waveform (continuous-phase 8-FSK; optional
-    Gaussian-smoothed frequency transitions like WSJT-X GFSK)."""
+    Gaussian-smoothed frequency transitions like WSJT-X GFSK).
+
+    drift_hz: linear transmitter frequency drift across the 12.64 s
+    transmission (an off-air impairment: a warming crystal drifts a few
+    Hz per slot) — the tone track slides from base_freq to
+    base_freq + drift_hz over the 79 symbols."""
     sps = int(round(SYMBOL_SECONDS * rate))
-    freq_per_sym = base_freq + np.asarray(tones, float) * TONE_SPACING
+    freq_per_sym = (base_freq + np.asarray(tones, float) * TONE_SPACING
+                    + drift_hz * np.linspace(0.0, 1.0, len(tones)))
     inst_freq = np.repeat(freq_per_sym, sps)
     if gfsk:
         # smooth tone transitions with a ~2 ms gaussian
@@ -68,6 +74,47 @@ def synth_audio(tones: np.ndarray, base_freq: float = 1000.0,
         inst_freq = np.convolve(inst_freq, g, mode="same")
     phase = 2.0 * np.pi * np.cumsum(inst_freq) / rate
     return (amp * np.sin(phase)).astype(np.float32)
+
+
+def apply_sample_rate_offset(audio: np.ndarray, ppm: float,
+                             rate: float = C.AUDIO_RATE) -> np.ndarray:
+    """Resample `audio` as if the capture clock ran `ppm` parts-per-
+    million fast (ppm > 0 -> the decoder, assuming the nominal rate,
+    sees a slightly slow/compressed signal).  Models the cheap-TCXO
+    sound-card clock error every off-air capture carries."""
+    n = len(audio)
+    t_nominal = np.arange(n) / rate
+    t_actual = t_nominal * (1.0 + ppm * 1e-6)
+    return np.interp(t_nominal, t_actual, audio,
+                     left=0.0, right=0.0).astype(np.float32)
+
+
+def apply_fading(audio: np.ndarray, doppler_hz: float = 0.2,
+                 rate: float = C.AUDIO_RATE, seed: int = 0,
+                 floor: float = 0.05) -> np.ndarray:
+    """Rayleigh-ish flat fading: multiply the analytic signal by a
+    complex Gaussian process low-pass filtered to `doppler_hz` (the
+    ionospheric Doppler-spread scale for quiet HF paths), then take the
+    real part.  `floor` keeps a small direct component so the deepest
+    nulls are finite (Rician-like, as over a real path)."""
+    from scipy import signal as ss
+
+    n = len(audio)
+    rng = np.random.default_rng(seed)
+    # complex Gaussian at a low internal rate, interpolated up
+    sub = max(int(rate / (doppler_hz * 64.0)), 1)
+    m = n // sub + 8
+    g = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    # 2nd-order butterworth at the doppler spread (sub-rate domain)
+    b, a = ss.butter(2, min(doppler_hz / (rate / sub / 2.0), 0.99))
+    g = ss.lfilter(b, a, g)
+    g /= np.sqrt(np.mean(np.abs(g) ** 2)) + 1e-12
+    t_sub = np.arange(m) * sub
+    gain = (np.interp(np.arange(n), t_sub, g.real)
+            + 1j * np.interp(np.arange(n), t_sub, g.imag))
+    gain = floor + (1.0 - floor) * gain
+    analytic = ss.hilbert(np.asarray(audio, np.float64))
+    return np.real(analytic * gain).astype(np.float32)
 
 
 def synth_iq(message: str, base_freq: float = 1000.0,

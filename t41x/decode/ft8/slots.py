@@ -26,13 +26,21 @@ CAPTURE_SECONDS = 13.5  # leave margin for decode before the next slot
 class SlotManager:
     def __init__(self, decode_fn: Callable[[np.ndarray], list] | None = None,
                  rate: float = C.AUDIO_RATE,
-                 clock: Callable[[], float] | None = None):
+                 clock: Callable[[], float] | None = None,
+                 my_grid: str | None = None):
         """decode_fn: called with each completed slot's audio.
         clock: returns seconds (UTC-like); defaults to sample counting
-        (assume feed() is called in real time from stream start)."""
-        from t41x.decode.ft8 import decode as ft8_decode
+        (assume feed() is called in real time from stream start).
+        my_grid: station locator — decodes carry distance_km and the
+        session's call-hash table persists across slots (the reference
+        keeps both for the duration of FT8 mode, ft8.cpp:798-874)."""
+        if decode_fn is None:
+            from t41x.decode.ft8 import decode as ft8_decode, message
 
-        self.decode_fn = decode_fn or ft8_decode.decode_audio
+            hashes = message.CallHashTable()
+            decode_fn = lambda a: ft8_decode.decode_audio(  # noqa: E731
+                a, hashes=hashes, my_grid=my_grid)
+        self.decode_fn = decode_fn
         self.rate = rate
         self.clock = clock
         self.samples_fed = 0

@@ -13,7 +13,16 @@ Differences from the reference (deliberate, TPU-first):
   * float32 throughout; the waterfall stays in dB floats rather than
     the reference's byte quantization
   * all time slots are computed as ONE batched rFFT — the whole 15 s
-    slot is a single (n_frames, fft) tensor op, ideal MXU/VPU work.
+    slot is a single (n_frames, fft) tensor op, ideal MXU/VPU work
+  * RECTANGULAR symbol window, not the reference's Blackman
+    (`ft_blackman_i` `ft8.cpp:168`): 6.25 Hz-spaced FSK tones are
+    orthogonal over exactly one 0.16 s symbol, so the rectangular
+    window IS the matched filter; Blackman triples the mainlobe and
+    leaks tone energy into neighbor bins.  Measured (r5 sweep, 8
+    trials/cell): decode rate at -18 dB SNR 6/8 rect vs 3/8 blackman,
+    at -20 dB 2/8 vs 0/8 — ~1.5 dB of sensitivity — while the
+    crowded-band envelope (15 signals over 16 dB of spread) stays
+    15/15 with zero false decodes on all 3 seeds.
 
 Output layout matches the reference indexing semantics:
 power[slot, time_sub, freq_sub, bin] with bin spacing 6.25 Hz and
@@ -28,7 +37,6 @@ from t41x.kernels import mxu_fft
 import numpy as np
 
 from t41x import constants as C
-from t41x.utils.windows import blackman_ft8
 
 SYMBOL_SECONDS = 0.16
 TONE_SPACING = 6.25
@@ -60,8 +68,8 @@ def compute_waterfall(audio: jnp.ndarray, rate: float = C.AUDIO_RATE):
     idx = (jnp.arange(n_frames)[:, None] * hop
            + jnp.arange(win)[None, :])                # (F, win)
     frames = audio[..., idx]                          # (..., F, win)
-    w = jnp.asarray(blackman_ft8(win).astype(np.float32))
-    spec = mxu_fft.rfft(frames * w, n=fft_len, axis=-1)
+    # rectangular window = the FSK matched filter (see module docstring)
+    spec = mxu_fft.rfft(frames, n=fft_len, axis=-1)
     power = spec.real ** 2 + spec.imag ** 2
     db = 10.0 * jnp.log10(jnp.maximum(power, 1e-12))
 

@@ -272,7 +272,8 @@ class Radio:
         out = self.receive(iq)
         from t41x.decode.ft8 import decode as ft8
 
-        return ft8.decode_audio(out["audio_24k"].astype(np.float32))
+        return ft8.decode_audio(out["audio_24k"].astype(np.float32),
+                                my_grid=self.config.my_grid)
 
     def decode_cw(self, iq: np.ndarray) -> str:
         self.set_mode("cw")

@@ -111,7 +111,9 @@ class StreamRunner:
             if chain.spec.mode == "ft8":
                 from t41x.decode.ft8.slots import SlotManager
 
-                self._ft8_slots = SlotManager(clock=self.slot_clock)
+                self._ft8_slots = SlotManager(
+                    clock=self.slot_clock,
+                    my_grid=self.radio.config.my_grid)
         return chain
 
     def prime(self) -> None:

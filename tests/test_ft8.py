@@ -173,17 +173,19 @@ def test_ft8_crowded_band_15_signals():
     """Crowded-band envelope (VERDICT r3 item 6): >=15 overlapping
     signals per slot — the reference regime (`ft8.cpp:64-67` allows 20
     candidates/10 messages; WSJT-X decodes dozens).  The adaptive
-    candidate pool must decode most of them with ZERO false decodes."""
-    slot, msgs = _crowded_slot(15)
-    decoded = ft8_decode.decode_audio(slot)
-    texts = [d.text for d in decoded]
-    # no false decodes: every decode is one of the transmitted messages
-    assert all(t in msgs for t in texts), [t for t in texts
-                                          if t not in msgs]
-    assert len(set(texts)) == len(texts)  # dedupe holds
-    # decode density: at least 11/15 in one pass (the reference caps at
-    # 10 messages/slot total)
-    assert len(texts) >= 11, (len(texts), sorted(set(msgs) - set(texts)))
+    candidate pool decodes ALL 15 with ZERO false decodes; pinned at
+    the measured 15/15 across three seeds (VERDICT r4 weak item 5) so
+    a regression to the old 11/15 bound cannot pass CI."""
+    for seed in (5, 6, 7):
+        slot, msgs = _crowded_slot(15, seed=seed)
+        decoded = ft8_decode.decode_audio(slot)
+        texts = [d.text for d in decoded]
+        # no false decodes: every decode is a transmitted message
+        assert all(t in msgs for t in texts), \
+            (seed, [t for t in texts if t not in msgs])
+        assert len(set(texts)) == len(texts)  # dedupe holds
+        assert len(set(texts)) == 15, \
+            (seed, len(texts), sorted(set(msgs) - set(texts)))
 
 
 def test_ft8_adaptive_candidates_scale_with_occupancy():
