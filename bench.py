@@ -81,9 +81,16 @@ def main() -> None:
     ap.add_argument("--no-linearity", action="store_true", default=False)
     ap.add_argument("--channelizer-k", type=int, default=16,
                     help="channelizer bank size K (--config channelizer)")
+    ap.add_argument("--check", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="before timing, run the EXACT timed spec "
+                         "on-device against the unfused XLA chain and "
+                         "record the audio parity dB in the JSON — the "
+                         "number that proves the fused kernels are right "
+                         "on the hardware being benchmarked")
     ap.add_argument("--config", default="rx",
-                    choices=["rx", "cw", "nfm", "nr", "beacon",
-                             "channelizer"],
+                    choices=["rx", "rx_nodisplay", "cw", "nfm", "nr",
+                             "beacon", "channelizer", "tx"],
                     help="BASELINE benchmark configuration")
     args = ap.parse_args()
 
@@ -96,27 +103,111 @@ def main() -> None:
     from t41x.utils import creal
 
     cfg_map = {
-        "rx": dict(mode=args.mode),
+        # flagship: spectrum_zoom=0 = the zoom x1 RF panadapter tap the
+        # reference computes on every pass (CalcZoom1Magn,
+        # Process.cpp:185-187, Display.cpp:337-340) — the headline pays
+        # for everything the reference always pays for
+        "rx": dict(mode=args.mode, spectrum_zoom=0),
+        # secondary row: the display-free chain (headless deployments)
+        "rx_nodisplay": dict(mode=args.mode),
         "cw": dict(mode="cw", spectrum_zoom=2, cw_filter_index=1,
                    nr_mode=2),
         "nfm": dict(mode="nfm"),
-        "nr": dict(mode=args.mode, nr_mode=2),
+        "nr": dict(mode=args.mode, nr_mode=2, spectrum_zoom=0),
         "beacon": dict(mode="usb", spectrum_zoom=1),
         "channelizer": dict(mode="usb"),
+        "tx": dict(mode="usb"),  # spec unused; see bench_tx
     }
-    spec = ChainSpec(spectrum_taps=args.spectrum, use_matmul_osfilter=True,
-                     use_pallas=args.pallas,
-                     interpolate_out=args.interpolate,
-                     q15_input=args.q15 and args.config != "channelizer",
-                     **cfg_map[args.config])
-    chain = RxChain(spec)
+    if args.config == "tx":
+        spec, chain = None, None  # TX benches the exciter, not RxChain
+    else:
+        spec = ChainSpec(spectrum_taps=args.spectrum,
+                         use_matmul_osfilter=True,
+                         use_pallas=args.pallas,
+                         interpolate_out=args.interpolate,
+                         q15_input=args.q15 and args.config != "channelizer",
+                         **cfg_map[args.config])
+        chain = RxChain(spec)
     channelize = args.config == "channelizer"
     cz = None
     if channelize:
         from t41x.mesh.channelizer import Channelizer
         cz = Channelizer(args.channelizer_k)
 
-    def build(n_ch: int, n_blocks: int, repeats: int):
+    def parity_check(n_ch: int = 256, n_blocks: int = 8) -> dict:
+        """On-chip value parity of the EXACT spec being timed vs the
+        unfused XLA chain (VERDICT r4 item 1): both paths stream the
+        same blocks THROUGH THE SAME DEVICE, audio is fetched, and the
+        error is reported as an SNR in dB.  >=55 dB is the same audio
+        bound every sharding/parity test in tests/ uses."""
+        import dataclasses
+
+        ref_spec = dataclasses.replace(spec, use_pallas=False)
+        rng = np.random.default_rng(7)
+        t = np.arange(n_blocks * C.BLOCK_SIZE) / C.SAMPLE_RATE
+        tone = 0.3 * np.exp(
+            2j * np.pi * (C.SAMPLE_RATE / 4 + 1500.0) * t)
+        iq = (tone + (rng.standard_normal((n_ch, t.size))
+                      + 1j * rng.standard_normal((n_ch, t.size))) * 0.05
+              ).astype(np.complex64)
+        if spec.q15_input:
+            data = (np.clip(np.round(iq.real * 32768.0), -32768,
+                            32767).astype(np.int16),
+                    np.clip(np.round(iq.imag * 32768.0), -32768,
+                            32767).astype(np.int16))
+        else:
+            data = creal.csplit(iq)
+        params = jax.tree.map(np.asarray, default_params((n_ch,)))
+
+        def stream(c):
+            def run(blocks, st, params):
+                def body(st, blk):
+                    st, out = c.block(params, st, blk)
+                    keep = {k: out[k] for k in
+                            ("audio", "audio_24k", "rf_spectrum")
+                            if k in out}
+                    return st, keep
+
+                return jax.lax.scan(body, st, blocks)
+
+            blocks = jax.tree.map(
+                lambda a: np.stack(np.split(a, n_blocks, axis=-1)), data)
+            st = creal.csplit(c.init_state((n_ch,)))
+            _, outs = creal.cjit(run)(*jax.device_put(
+                (blocks, st, params)))
+            return {k: np.asarray(v) for k, v in outs.items()}
+
+        got, ref = stream(chain), stream(RxChain(ref_spec))
+        out = {}
+        for k, r in ref.items():
+            g = got[k].astype(np.float64)
+            r = r.astype(np.float64)
+            if k == "rf_spectrum":
+                # display product: bound the DISPLAYED dB error within
+                # the panadapter's ~60 dB dynamic range (bins below
+                # peak-60 dB clip to the display floor; waveform SNR is
+                # the wrong metric for bins spanning orders of
+                # magnitude).  0.5 dB is below the ~1-2 dB/pixel
+                # resolution (Display.cpp:343-362); the r5 DC-leak bug
+                # this check caught measured 24-28 dB here.
+                fl = max(r.max(), g.max()) * 1e-6
+                d = np.max(np.abs(10 * np.log10(np.maximum(g, fl))
+                                  - 10 * np.log10(np.maximum(r, fl))))
+                out["rf_spectrum_max_err_db"] = round(float(d), 3)
+                assert d < 0.5, ("rf_spectrum", d)
+                continue
+            err = np.mean(np.abs(r - g) ** 2)
+            sig = np.mean(np.abs(r) ** 2)
+            db = float("inf") if err == 0.0 else \
+                10.0 * np.log10(sig / err)
+            out[k] = round(db, 1) if np.isfinite(db) else db
+            assert db > 55.0, (k, db)
+        print(f"# on-chip parity (fused vs unfused XLA, {n_ch} ch x "
+              f"{n_blocks} blocks): " + ", ".join(
+                  f"{k}={v}" for k, v in out.items()), file=sys.stderr)
+        return out
+
+    def build_rx(n_ch: int, n_blocks: int, repeats: int):
         # params passed as jit arguments, not closure constants: the axon
         # remote backend cannot device->host copy captured device arrays
         # at lowering time
@@ -172,6 +263,41 @@ def main() -> None:
         jax.block_until_ready((blocks, st, params))
         return run, blocks, st, params
 
+    def build_tx(n_ch: int, n_blocks: int, repeats: int):
+        """Channel-batched SSB exciter (VERDICT r4 item 7): mic 192 kHz
+        -> x4+x2 decimate -> 14-band TX EQ -> Hilbert pair -> IQ
+        corrections -> x2+x4 interpolate -> drive scale
+        (Exciter.cpp:46-169)."""
+        from t41x.chain.tx import SSBExciter, TxSpec, default_tx_params
+
+        ex = SSBExciter(TxSpec(sideband="usb", eq_on=True))
+        params = jax.tree.map(np.asarray, default_tx_params((n_ch,)))
+
+        def run_body(blocks, st, params):
+            def step(st, mic):
+                st, iq = ex.block(params, st, mic)
+                return st, jnp.sum(iq.real ** 2 + iq.imag ** 2)
+
+            def body(_, acc):
+                st, e = acc
+                st, ei = jax.lax.scan(step, st, blocks)
+                return st, e + jnp.sum(ei)
+
+            st, e = jax.lax.fori_loop(0, repeats, body,
+                                      (st, jnp.float32(0.0)))
+            return st, e
+
+        run = creal.cjit(run_body)
+        rng = np.random.default_rng(0)
+        mic = rng.standard_normal(
+            (n_blocks, n_ch, C.BLOCK_SIZE)).astype(np.float32) * 0.1
+        st = creal.csplit(ex.init_state((n_ch,)))
+        blocks, st, params = jax.device_put((mic, st, params))
+        jax.block_until_ready((blocks, st, params))
+        return run, blocks, st, params
+
+    build = build_tx if args.config == "tx" else build_rx
+
     def timed(run, blocks, st, params, reps):
         # force a device->host fetch of the result scalar inside the
         # timed region: on remote backends block_until_ready can resolve
@@ -197,6 +323,10 @@ def main() -> None:
 
     floor_s = dispatch_floor()
     print(f"# dispatch floor: {floor_s*1e6:.0f} us", file=sys.stderr)
+
+    parity = None
+    if args.check and chain is not None and spec.use_pallas:
+        parity = parity_check()
 
     def measure(n_ch: int) -> dict:
         # calibrate repeats: time one pass, scale to min_ms
@@ -281,9 +411,12 @@ def main() -> None:
     dev = jax.devices()[0]
     peak = _PEAK_FLOPS.get(str(dev.device_kind))
     cfg = {
-        "mode": spec.mode, "bench": args.config, "q15": spec.q15_input,
+        "mode": spec.mode if spec else "tx_ssb",
+        "bench": args.config,
+        "q15": spec.q15_input if spec else False,
         "pallas": args.pallas, "spectrum_taps": args.spectrum,
         "interpolate_out": args.interpolate,
+        "zoom": (spec.spectrum_zoom if spec else None),
         "channels": best["channels"],
         "blocks": best["blocks"], "repeats": best["repeats"],
         "timed_step_ms": round(best["time_s"] * 1e3, 2),
@@ -296,11 +429,17 @@ def main() -> None:
         if peak:
             cfg["util_vs_bf16_peak"] = round(
                 best["achieved_tflops"] * 1e12 / peak, 4)
+    if parity is not None:
+        # measured on THIS device immediately before timing, same spec
+        cfg["parity_db"] = parity
 
+    tx = args.config == "tx"
     print(json.dumps({
-        "metric": f"iq_samples_per_sec_per_chip_full_{args.config}_chain",
+        "metric": (f"mic_samples_per_sec_per_chip_full_tx_chain" if tx
+                   else
+                   f"iq_samples_per_sec_per_chip_full_{args.config}_chain"),
         "value": round(best["rate"], 1),
-        "unit": "complex samples/s",
+        "unit": "real samples/s" if tx else "complex samples/s",
         "vs_baseline": round(best["rate"] / 192000.0, 2),
         "config": cfg,
     }))

@@ -58,6 +58,71 @@ def biquad_apply(state: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray,
     return new_state, jnp.moveaxis(y, 0, -1)
 
 
+def _normal_form_powers(a1: float, a2: float, k: np.ndarray, K: int,
+                        P: np.ndarray):
+    """Balanced, well-conditioned realization of one biquad stage and
+    its chunk powers A_n^0..A_n^K (float64).
+
+    Returns (An_pows (K+1,2,2), Bn (2,), Cn (2,)) with
+    H(z) = b0 + Cn (zI - An)^-1 Bn identical to the df2T companion
+    system (A=[[-a1,1],[-a2,0]], B=k, C=[1,0]).  Complex pole pairs use
+    the rotation form (A_n^m = r^m * rot(m*theta), closed form — f32
+    rounding perturbs its eigenvalues by ~1e-7 where the companion
+    form's A^K was off by ~3e-2 for the DC blocker); distinct real
+    poles use the diagonal form; repeated/defective poles fall back to
+    the companion powers `P` (bounded for the filters shipped here).
+    """
+    C = np.array([1.0, 0.0])
+    disc = a1 * a1 - 4.0 * a2
+    if disc < -1e-30:                      # complex pair -> rotation
+        p = (-a1 + 1j * np.sqrt(-disc)) / 2.0
+        r, th = abs(p), np.angle(p)
+        v = np.array([1.0 + 0j, p + a1])   # eigenvector of companion A
+        T = np.stack([v.real, v.imag], axis=1)
+        Bn = np.linalg.inv(T) @ k
+        Cn = C @ T
+        alpha = np.sqrt(np.linalg.norm(Bn)
+                        / max(np.linalg.norm(Cn), 1e-300))
+        Bn, Cn = Bn / alpha, Cn * alpha
+        m = np.arange(K + 1)
+        c, s = np.cos(m * th), np.sin(m * th)
+        rm = r ** m
+        An_pows = (np.stack([np.stack([c, s], -1),
+                             np.stack([-s, c], -1)], axis=-2)
+                   * rm[:, None, None])
+        return An_pows, Bn, Cn
+    p1 = (-a1 + np.sqrt(max(disc, 0.0))) / 2.0
+    p2 = (-a1 - np.sqrt(max(disc, 0.0))) / 2.0
+    if abs(p1 - p2) > 1e-9 * max(1.0, abs(p1)):  # real distinct -> diag
+        T = np.array([[1.0, 1.0], [p1 + a1, p2 + a1]])
+        Bn = np.linalg.inv(T) @ k
+        Cn = C @ T
+        al = np.sqrt(np.maximum(np.abs(Bn), 1e-300)
+                     / np.maximum(np.abs(Cn), 1e-300))
+        Bn, Cn = Bn / al, Cn * al
+        m = np.arange(K + 1)
+        An_pows = np.zeros((K + 1, 2, 2))
+        An_pows[:, 0, 0] = p1 ** m
+        An_pows[:, 1, 1] = p2 ** m
+        return An_pows, Bn, Cn
+    return P.copy(), k.copy(), C             # defective: companion form
+
+
+def stage_normal_form(b_row: np.ndarray, a_row: np.ndarray):
+    """(A, B, C, D) of ONE biquad stage in the same balanced normal-form
+    realization `BiquadChunked` uses (float64) — the single source of
+    truth for state coordinates, so composite operators built from
+    these stages (`frontend_pallas._compose_cascade_ops`,
+    `_zoom_chunk_ops`) stay state-interchangeable with BiquadChunked."""
+    b0, b1, b2 = np.asarray(b_row, np.float64)
+    a1, a2 = float(a_row[1]), float(a_row[2])
+    k = np.array([b1 - a1 * b0, b2 - a2 * b0])
+    A = np.array([[-a1, 1.0], [-a2, 0.0]])
+    P = np.stack([np.eye(2), A])
+    pw, Bn, Cn = _normal_form_powers(a1, a2, k, 1, P)
+    return pw[1], Bn, Cn, b0
+
+
 class BiquadChunked:
     """Chunk-parallel streaming biquad cascade — exact df2T semantics with
     the per-sample dependency collapsed to one matmul per chunk.
@@ -75,7 +140,23 @@ class BiquadChunked:
     (`arm_biquad_cascade_df2T_f32`, e.g. the RF-rate DC block
     `Process.cpp:127`) from an N-step serial scan into N/K MXU matmuls:
     the 2048-sample RF block goes from 2048 sequential steps to 16.
-    Matches `biquad_apply` to fp32 rounding (same state layout).
+
+    NUMERICS (round-5 fix): the operators are built in a BALANCED
+    NORMAL-FORM realization, not the df2T companion form.  For a
+    near-unity complex pole pair (the DC blocker: |p| = 0.99977,
+    angle 2.3e-4 rad) the companion-form A^K has entries of ~±125 and
+    an ill-conditioned eigenproblem — rounding it to f32 moved its
+    eigenvalues from 0.9708 to {0.9995, 0.942}, making DC convergence
+    ~40x too slow and leaving a display-visible DC spur that grew for
+    a hundred blocks (caught by `bench.py --check` on the real chip).
+    In the rotation form A = r·[[cos t, sin t], [-sin t, cos t]] the
+    chunk power A^K = r^K·rot(K·t) is computed in closed form and its
+    f32 rounding perturbs eigenvalues by ~1e-7, so the operator decays
+    exactly like the per-sample recursion.  The carried state is in the
+    realization's own coordinates (NOT df2T s1/s2 — input/output
+    behavior is identical to f32 rounding, internal layout is not);
+    the fused kernel consumes these same matrices, so fused and plain
+    states stay interchangeable.
     """
 
     def __init__(self, b: np.ndarray, a: np.ndarray, chunk: int = 128):
@@ -90,21 +171,26 @@ class BiquadChunked:
             b0, b1, b2 = b[s]
             A = np.array([[-a1, 1.0], [-a2, 0.0]])
             k = np.array([b1 - a1 * b0, b2 - a2 * b0])
-            # powers A^0..A^K and vectors A^m k
+            # companion-form powers: L (the in-chunk impulse-response
+            # Toeplitz) is realization-independent and its h values are
+            # small, so the companion form is fine for it
             P = np.empty((K + 1, 2, 2))
             P[0] = np.eye(2)
             for m in range(K):
                 P[m + 1] = A @ P[m]
             Ak = P[:K] @ k                      # (K, 2): A^m k
-            R = P[:K, 0, :]                     # (K, 2)
             L = np.zeros((K, K))
             for n in range(1, K):
                 # L[n, j] = (A^(n-1-j) k)[0], j = 0..n-1
                 L[n, :n] = Ak[: n][::-1, 0]
-            G = Ak[::-1]                        # G[j] = A^(K-1-j) k
+
+            # balanced normal-form realization for the state recursion
+            An_pows, Bn, Cn = _normal_form_powers(a1, a2, k, K, P)
+            R = np.einsum("j,njk->nk", Cn, An_pows[:K])   # R[n] = Cn A^n
+            G = np.einsum("njk,k->nj", An_pows[K - 1::-1], Bn)
             Rs.append(R)
             Ls.append(L)
-            AKs.append(P[K])
+            AKs.append(An_pows[K])
             Gs.append(G)
         self.R = np.stack(Rs).astype(np.float32)    # (S, K, 2)
         self.L = np.stack(Ls).astype(np.float32)    # (S, K, K)

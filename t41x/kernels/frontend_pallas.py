@@ -69,6 +69,29 @@ TILE_C = 128
 _K = 128  # DC-biquad chunk length (one MXU tile)
 _ZRES = 512  # zoom-1 display segment length (SPECTRUM_RES)
 
+# In-kernel matmul precision, pinned EXPLICITLY so the kernels are
+# independent of the global jax_default_matmul_precision (Mosaic also
+# rejects HIGH outright).  Measured on the v5e (r5 sweep, full-chain
+# audio parity vs the fp64-free CPU chain at 1024 ch):
+#
+#   kernel dots      XLA global   parity    us/block
+#   HIGHEST          highest      125.6 dB    430
+#   HIGHEST          high          93.4 dB    357
+#   DEFAULT          high          92.3 dB    309   <- production
+#   HIGHEST          default       48.9 dB    307
+#
+# i.e. Mosaic's DEFAULT lowering of an f32 dot is already ~3-pass
+# accurate (~1 dB below HIGHEST under the XLA-high tail) while XLA's
+# default is single-pass bf16 and unusable for audio; HIGHEST in-kernel
+# costs +48 us/block for that last 1 dB.  `bench.py --check` guards
+# this choice on every benched chip.
+DOT_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def _dot(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                   precision=DOT_PRECISION)
+
 
 def _compose_cascade_ops(b: np.ndarray, a: np.ndarray, K: int):
     """Compose an S-stage df2T biquad cascade into ONE 2S-state linear
@@ -78,8 +101,8 @@ def _compose_cascade_ops(b: np.ndarray, a: np.ndarray, K: int):
         s_next   = s @ AK.T + x @ G         G: (K,2S) AK: (2S,2S)
 
     The composite state vector is the CONCATENATION of the per-stage
-    df2T states [s1_0, s2_0, s1_1, s2_1, ...], so it is interchangeable
-    with `iir.BiquadChunked` / `biquad_apply` state laid out
+    normal-form states (iir.stage_normal_form), so it is
+    interchangeable with `iir.BiquadChunked` state laid out
     (..., S, 2).reshape(..., 2S)."""
     b = np.atleast_2d(np.asarray(b, np.float64))
     a = np.atleast_2d(np.asarray(a, np.float64))
@@ -89,12 +112,10 @@ def _compose_cascade_ops(b: np.ndarray, a: np.ndarray, K: int):
     C_c = np.zeros((0,))
     D_c = 1.0
     for s in range(S):
-        a1, a2 = a[s, 1], a[s, 2]
-        b0, b1, b2 = b[s]
-        As = np.array([[-a1, 1.0], [-a2, 0.0]])
-        Bs = np.array([b1 - a1 * b0, b2 - a2 * b0])
-        Cs = np.array([1.0, 0.0])
-        Ds = b0
+        # balanced normal-form stages (iir.stage_normal_form): the df2T
+        # companion form's chunk powers are catastrophically
+        # ill-conditioned for near-unity poles — see BiquadChunked
+        As, Bs, Cs, Ds = iir.stage_normal_form(b[s], a[s])
         m = A_c.shape[0]
         A_new = np.zeros((m + 2, m + 2))
         A_new[:m, :m] = A_c
@@ -146,10 +167,10 @@ def _zoom_chunk_ops(b: np.ndarray, a: np.ndarray, h: np.ndarray,
 
     with S = 2*stages + t - 1 composite states ordered
     [stage0 s1,s2, ..., u[n-1], u[n-2], u[n-3]] — the IIR part is
-    interchangeable with per-stage df2T states, the FIR part with
-    `fir.fir_state` history REVERSED (newest first).  Output rows are
-    the in-chunk sample indices m-1, 2m-1, ... (fir_decimate's
-    newest-sample phase)."""
+    interchangeable with per-stage `iir.BiquadChunked` (normal-form)
+    states, the FIR part with `fir.fir_state` history REVERSED (newest
+    first).  Output rows are the in-chunk sample indices m-1, 2m-1, ...
+    (fir_decimate's newest-sample phase)."""
     b = np.atleast_2d(np.asarray(b, np.float64))
     a = np.atleast_2d(np.asarray(a, np.float64))
     h = np.asarray(h, np.float64)
@@ -160,11 +181,8 @@ def _zoom_chunk_ops(b: np.ndarray, a: np.ndarray, h: np.ndarray,
     C_c = np.zeros((0,))
     D_c = 1.0
     for s in range(b.shape[0]):
-        a1, a2 = a[s, 1], a[s, 2]
-        b0, b1, b2 = b[s]
-        stage = (np.array([[-a1, 1.0], [-a2, 0.0]]),
-                 np.array([b1 - a1 * b0, b2 - a2 * b0]),
-                 np.array([1.0, 0.0]), b0)
+        # balanced normal-form stages (see _compose_cascade_ops)
+        stage = iir.stage_normal_form(b[s], a[s])
         A_c, B_c, C_c, D_c = _compose_systems((A_c, B_c, C_c, D_c), stage)
     # FIR as a shift register: states (u[n-1], ..., u[n-t+1])
     nf = t - 1
@@ -354,14 +372,14 @@ class FusedFrontEnd:
             # (for q15 ingest the 1/32768 scale is folded into g)
             xc = ld_r(sl) * g
             i_p = (self.b0 * xc + sI1 * Rt[0:1, :] + sI2 * Rt[1:2, :]
-                   + jnp.dot(xc, Lt, preferred_element_type=f32))
-            xg = jnp.dot(xc, G, preferred_element_type=f32)
+                   + _dot(xc, Lt))
+            xg = _dot(xc, G)
             sI1, sI2 = (sI1 * AKt[0, 0] + sI2 * AKt[1, 0] + xg[:, 0:1],
                         sI1 * AKt[0, 1] + sI2 * AKt[1, 1] + xg[:, 1:2])
             xc = ld_i(sl) * g
             q_p = (self.b0 * xc + sQ1 * Rt[0:1, :] + sQ2 * Rt[1:2, :]
-                   + jnp.dot(xc, Lt, preferred_element_type=f32))
-            xg = jnp.dot(xc, G, preferred_element_type=f32)
+                   + _dot(xc, Lt))
+            xg = _dot(xc, G)
             sQ1, sQ2 = (sQ1 * AKt[0, 0] + sQ2 * AKt[1, 0] + xg[:, 0:1],
                         sQ1 * AKt[0, 1] + sQ2 * AKt[1, 1] + xg[:, 1:2])
 
@@ -395,10 +413,10 @@ class FusedFrontEnd:
                 # store offsets at 128-sample granularity); the copy to
                 # the contiguous output uses static offsets after the
                 # loop
-                zsr_ref[k] = jnp.dot(zi_in, Wy, preferred_element_type=f32)
-                zsi_ref[k] = jnp.dot(zq_in, Wy, preferred_element_type=f32)
-                sZI = jnp.dot(zi_in, Ws, preferred_element_type=f32)
-                sZQ = jnp.dot(zq_in, Ws, preferred_element_type=f32)
+                zsr_ref[k] = _dot(zi_in, Wy)
+                zsi_ref[k] = _dot(zq_in, Wy)
+                sZI = _dot(zi_in, Ws)
+                sZQ = _dot(zq_in, Ws)
 
             # fs4 (exact j^n) x NCO phasor e^{-i theta} for this chunk
             tr = self.nco_gain * (fr * cs + fi * sn)

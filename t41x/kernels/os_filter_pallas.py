@@ -38,11 +38,16 @@ def _kernel(sr_ref, si_ref, xr_ref, xi_ref, wr_ref, wi_ref,
     xwi = jnp.concatenate([si_ref[:], xi_ref[:]], axis=1)
     wr = wr_ref[:]
     wi = wi_ref[:]
-    # y = xw @ (wr + j wi):  4 real MXU matmuls, fp32 accumulation
-    yr_ref[:] = (jnp.dot(xwr, wr, preferred_element_type=jnp.float32)
-                 - jnp.dot(xwi, wi, preferred_element_type=jnp.float32))
-    yi_ref[:] = (jnp.dot(xwr, wi, preferred_element_type=jnp.float32)
-                 + jnp.dot(xwi, wr, preferred_element_type=jnp.float32))
+    # y = xw @ (wr + j wi):  4 real MXU matmuls.  Precision pinned
+    # explicitly (decoupled from jax_default_matmul_precision, whose
+    # HIGH value Mosaic rejects); Mosaic's DEFAULT f32 dot lowering is
+    # ~3-pass accurate on the v5e — see the measured table at
+    # frontend_pallas.DOT_PRECISION, and tools/chipcheck.py for this
+    # kernel's own on-chip parity row.
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.DEFAULT)
+    yr_ref[:] = dot(xwr, wr) - dot(xwi, wi)
+    yi_ref[:] = dot(xwr, wi) + dot(xwi, wr)
     # state update: this block's new samples
     nsr_ref[:] = xr_ref[:]
     nsi_ref[:] = xi_ref[:]

@@ -87,28 +87,31 @@ def run_time_sharded(chain, mesh: Mesh, iq, axis_name: str = "t",
 # ----------------------------------------------------------------------
 
 def _dc_affine_terms(b: np.ndarray, a: np.ndarray, n_seg: int):
-    """Zero-input operators for one df2T biquad stage over an n_seg-sample
+    """Zero-input operators for one biquad stage over an n_seg-sample
     segment, float64 at trace time:
 
-      R  (n_seg, 2): y_zi[n] = s0 · R[n]   (R[n] = (A^n)[0, :])
-      AN (2, 2):     s_final = s0 @ AN.T + s_zero-state   (AN = A^n_seg)
+      R  (n_seg, 2): y_zi[n] = s0 · R[n]   (R[n] = Cn @ An^n)
+      AN (2, 2):     s_final = s0 @ AN.T + s_zero-state  (AN = An^n_seg)
 
-    with A = [[-a1, 1], [-a2, 0]] (same convention as iir.BiquadChunked).
-    """
+    in the SAME balanced normal-form realization as
+    `iir.BiquadChunked` (iir._normal_form_powers) — s0 here is a
+    BiquadChunked state, so the coordinates must match, and the
+    rotation form keeps An^n well-conditioned where the companion
+    form's long powers peak at ~|1/(1-r)| entries for near-unity
+    poles."""
+    from t41x.dsp.iir import _normal_form_powers
+
+    b0, b1, b2 = (float(b[0]), float(b[1]), float(b[2]))
     a1, a2 = float(a[1]), float(a[2])
+    k = np.array([b1 - a1 * b0, b2 - a2 * b0])
     A = np.array([[-a1, 1.0], [-a2, 0.0]], np.float64)
-    lam, V = np.linalg.eig(A)
-    if abs(lam[0] - lam[1]) > 1e-9:
-        Vi = np.linalg.inv(V)
-        pw = lam[None, :] ** np.arange(n_seg + 1)[:, None]     # (n+1, 2)
-        An = np.einsum("ij,nj,jk->nik", V, pw, Vi).real        # (n+1, 2, 2)
-    else:  # defective A: iterate
-        An = np.empty((n_seg + 1, 2, 2))
-        An[0] = np.eye(2)
-        for m in range(n_seg):
-            An[m + 1] = A @ An[m]
-    return (An[:n_seg, 0, :].astype(np.float32),
-            An[n_seg].astype(np.float32))
+    P = np.empty((n_seg + 1, 2, 2))
+    P[0] = np.eye(2)
+    for m in range(n_seg):           # companion fallback basis only
+        P[m + 1] = A @ P[m]
+    pw, Bn, Cn = _normal_form_powers(a1, a2, k, n_seg, P)
+    R = np.einsum("j,njk->nk", Cn, pw[:n_seg])
+    return R.astype(np.float32), pw[n_seg].astype(np.float32)
 
 
 def sharded_frontend_full(chain, axis_name: str = "t",

@@ -200,5 +200,7 @@ def test_eq_matches_per_band_biquad_oracle():
         st_ref = new_ref
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-4,
                                    atol=2e-4, err_msg=f"block {bi}")
-    np.testing.assert_allclose(np.asarray(st).reshape(st_ref.shape),
-                               st_ref, rtol=2e-3, atol=2e-4)
+    # the EQ operator carries balanced normal-form states
+    # (iir.stage_normal_form), not df2T coordinates, so states are
+    # compared by EFFECT: the per-block output assertions above already
+    # prove the carried state is equivalent across 3 block boundaries
