@@ -67,6 +67,9 @@ class ChainSpec:
     use_pallas: bool = False   # Pallas TPU kernel for the OS filter
     q15_input: bool = False    # ingest ADC q15 int16 (i, q) pairs
     spectrum_taps: bool = True  # emit audio-spectrum + S-meter taps
+    clip_taps: bool = False    # emit ADC half/quarter-clip flags for
+    #                            the digitizer auto-gain loop
+    #                            (Codec_gain, Process.cpp:979-1027)
     sample_rate: float = C.SAMPLE_RATE
     fft_length: int = C.FFT_LENGTH
 
@@ -272,6 +275,24 @@ class RxChain:
         """
         spec = self.spec
         outputs = {}
+
+        if spec.clip_taps:
+            # ADC clip statistics on the RAW samples, pre-gain (the
+            # reference's UHSDR-heritage half_clip/quarter_clip flags
+            # feeding Codec_gain, Process.cpp:979-1027): half scale and
+            # quarter scale of the converter range, per channel
+            if spec.q15_input:
+                i16, q16 = iq
+                mag = jnp.maximum(jnp.abs(i16.astype(jnp.int32)),
+                                  jnp.abs(q16.astype(jnp.int32)))
+                outputs["adc_half_clip"] = jnp.any(mag >= 16384, axis=-1)
+                outputs["adc_quarter_clip"] = jnp.any(mag >= 8192,
+                                                      axis=-1)
+            else:
+                mag = jnp.maximum(jnp.abs(iq.real), jnp.abs(iq.imag))
+                outputs["adc_half_clip"] = jnp.any(mag >= 0.5, axis=-1)
+                outputs["adc_quarter_clip"] = jnp.any(mag >= 0.25,
+                                                      axis=-1)
 
         if spec.q15_input and self.fused_fe is None:
             i16, q16 = iq

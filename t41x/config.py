@@ -91,6 +91,7 @@ class RadioConfig:
     nb_on: bool = False
     spectrum_zoom: int = 1
     rf_gain_all_bands: float = 0.0
+    auto_rf_gain: bool = False      # digitizer auto-gain (Codec_gain)
     center_freq: int = 14_200_000
     center_freq_b: int = 7_150_000   # VFO B (split operation, Tune.cpp:251)
     active_vfo: str = "A"

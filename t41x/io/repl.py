@@ -42,6 +42,7 @@ commands:
   mode <m>          set demod mode: usb lsb am sam nfm cw ft8 psk31
   agc <m>           off long slow med fast (or 0-4)
   vol <0-100>|+|-   audio volume / nudge by 5
+  rf [g|auto on|off] band RF gain 0-15 / digitizer auto-gain
   nr <0-3>          noise reduction: off kim spectral lms
   zoom <z>          spectrum zoom (-1 off, 0 = x1, n = x2^n)
   filter <lo> <hi>  audio band-pass cuts, Hz
@@ -141,6 +142,16 @@ class OperatorSession:
             else:
                 radio.set_volume(int(args[0]))
             return f"volume {cfg.audio_volume}"
+        if cmd == "rf":
+            # the RF-set menu (MenuProc.cpp:123): band gain + auto-gain
+            if not args:
+                return (f"rf gain {cfg.band.rf_gain}  "
+                        f"auto {'on' if cfg.auto_rf_gain else 'off'}")
+            if args[0] == "auto":
+                radio.set_auto_rf_gain(len(args) < 2 or args[1] == "on")
+                return f"rf auto {'on' if cfg.auto_rf_gain else 'off'}"
+            cfg.band.rf_gain = max(0, min(int(args[0]), 15))
+            return f"rf gain {cfg.band.rf_gain}"
         if cmd == "save":
             cfg.save(args[0])
             return f"config saved to {args[0]}"

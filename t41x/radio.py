@@ -193,6 +193,12 @@ class Radio:
     def set_transmit_power(self, watts: float) -> None:
         self.config.transmit_power = float(np.clip(watts, 0.0, 20.0))
 
+    def set_auto_rf_gain(self, on: bool) -> None:
+        """Digitizer auto-gain (Codec_gain, Process.cpp:979-1027): the
+        chain emits ADC clip taps and the runner steps band.rf_gain."""
+        self.config.auto_rf_gain = bool(on)
+        self._chain = None   # static graph change (clip_taps)
+
     # --- chain management ---------------------------------------------
     @property
     def chain(self) -> RxChain:
@@ -210,6 +216,7 @@ class Radio:
                 notch_on=cfg.notch_on,
                 eq_on=cfg.receive_eq_on,
                 spectrum_zoom=cfg.spectrum_zoom,
+                clip_taps=cfg.auto_rf_gain,
                 cw_filter_index=cfg.cw_filter_index,
                 cw_tone_hz=cfg.cw_sidetone_hz,
                 interpolate_out=False,

@@ -63,6 +63,7 @@ class StreamRunner:
         self._cw_keyed: list[bool] = []
         self._morse = None
         self._ft8_slots = None
+        self._codec_gain = None
         self.audio_chunks: list[np.ndarray] = []
         self.keep_audio = False
         self.last_rf_spectrum_db: np.ndarray | None = None
@@ -189,7 +190,25 @@ class StreamRunner:
             decoded = self._ft8_slots.feed(np.asarray(out["audio_24k"]))
             if decoded:
                 results["ft8"] = decoded
+        if "adc_half_clip" in out:
+            self._apply_codec_gain(
+                np.asarray(out["adc_half_clip"])[None],
+                np.asarray(out["adc_quarter_clip"])[None])
         return results
+
+    def _apply_codec_gain(self, halfs, quarts) -> None:
+        """Step the band RF gain from per-block ADC clip flags — the
+        reference's Codec_gain loop (Process.cpp:939,979-1027), run on
+        the operator channel."""
+        if self._codec_gain is None:
+            from t41x.chain.codec_gain import CodecGain
+
+            self._codec_gain = CodecGain()
+        ch0 = (slice(None),) + (0,) * len(self.channels)
+        g = int(self.radio.config.band.rf_gain)
+        for h, q in zip(halfs[ch0].reshape(-1), quarts[ch0].reshape(-1)):
+            g = self._codec_gain.step(bool(h), bool(q), g)
+        self.radio.config.band.rf_gain = g
 
     def step_batch(self) -> dict | None:
         """Process `batch_blocks` ring entries in ONE device dispatch
@@ -255,6 +274,9 @@ class StreamRunner:
                 audio[(slice(None),) + ch0].reshape(-1))
             if decoded:
                 results["ft8"] = decoded
+        if "adc_half_clip" in outs:
+            self._apply_codec_gain(np.asarray(outs["adc_half_clip"]),
+                                   np.asarray(outs["adc_quarter_clip"]))
         return results
 
     def drain(self, max_blocks: int | None = None) -> int:

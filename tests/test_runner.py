@@ -90,3 +90,71 @@ def test_runner_step_batch_default_batch_size():
         assert res is not None and "load_percent" in res
     assert runner.step_batch() is None     # ring drained
     assert runner.blocks_processed == 4
+
+
+def test_codec_gain_state_machine():
+    """The Codec_gain timer/step semantics (Process.cpp:979-1027):
+    decrease after >=20 blocks when half-clipping, increase after 50
+    quiet blocks, clamp [0, 15], no decrease below zero."""
+    from t41x.chain.codec_gain import CodecGain
+
+    cg = CodecGain()
+    g = 5
+    # quiet stream: first increase lands exactly at block 50
+    for i in range(49):
+        g = cg.step(False, False, g)
+        assert g == 5, i
+    g = cg.step(False, False, g)
+    assert g == 6
+    # quarter-level signal (no clip, but occupied): gain holds
+    for _ in range(120):
+        g = cg.step(False, True, g)
+    assert g == 6
+    # clipping: the timer counts blocks since the last CHANGE (not
+    # since clipping began), so after the long hold the first clipped
+    # block steps down immediately...
+    g = cg.step(True, True, g)
+    assert g == 5
+    # ...and the NEXT decrease needs the 20-block holdoff
+    for i in range(19):
+        g = cg.step(True, True, g)
+        assert g == 5, i
+    g = cg.step(True, True, g)
+    assert g == 4
+    # hard clipping drives to the floor and stays there
+    for _ in range(500):
+        g = cg.step(True, True, g)
+    assert g == 0
+    # then a long quiet period climbs back, capped at 15
+    for _ in range(50 * 40):
+        g = cg.step(False, False, g)
+    assert g == 15
+
+
+def test_runner_auto_rf_gain_steps_down_on_clipping():
+    """Live auto-gain loop: a near-full-scale input drives the chain's
+    adc clip taps and the runner steps band.rf_gain down (the
+    reference's Codec_gain hardware loop, Process.cpp:939)."""
+    radio = Radio()
+    radio.set_auto_rf_gain(True)
+    radio.config.band.rf_gain = 4
+    runner = StreamRunner(radio)
+    t = np.arange(40 * C.BLOCK_SIZE) / C.SAMPLE_RATE
+    loud = (0.9 * np.exp(2j * np.pi * (C.SAMPLE_RATE / 4 + 1000.0) * t)
+            ).astype(np.complex64)
+    for b in range(40):
+        runner.ring.push(np.ascontiguousarray(
+            loud[b * C.BLOCK_SIZE:(b + 1) * C.BLOCK_SIZE]).view(np.float32))
+        runner.drain()
+    assert radio.config.band.rf_gain < 4, radio.config.band.rf_gain
+
+    # quiet input climbs back up (50-block holdoff per step)
+    g0 = radio.config.band.rf_gain
+    quiet = (0.01 * loud).astype(np.complex64)
+    for b in range(110):
+        bb = b % 40
+        runner.ring.push(np.ascontiguousarray(
+            quiet[bb * C.BLOCK_SIZE:(bb + 1) * C.BLOCK_SIZE]
+            ).view(np.float32))
+        runner.drain()
+    assert radio.config.band.rf_gain > g0, radio.config.band.rf_gain
