@@ -221,7 +221,18 @@ def main() -> None:
                     cz_st, chans = cz.block(cz_st, blk)
                     blk = chans.reshape(-1, blk.shape[-1] // cz.K)
                 st, out = chain.block(params, st, blk)
-                return (st, cz_st), jnp.sum(out["audio_24k"] ** 2)
+                # checksum EVERY output so XLA cannot dead-code-
+                # eliminate any tap from the timed region (audio-only
+                # reduction let the interpolated-audio conv drop out;
+                # the same bug made stagebench under-report display
+                # taps by ~60 us/block — r5 finding)
+                e = jnp.sum(out["audio_24k"] ** 2)
+                for v in out.values():
+                    if jnp.iscomplexobj(v):
+                        v = v.real
+                    e = e + jnp.sum(v.astype(jnp.float32)) \
+                        * jnp.float32(1e-6)
+                return (st, cz_st), e
 
             carry, e = jax.lax.scan(step, carry, blocks)
             return carry, jnp.sum(e)

@@ -273,6 +273,12 @@ class RxChain:
         halves the ingest bytes of the dominant HBM stream.
         Returns (new_state, outputs: dict).
         """
+        x, outputs, fe_upd = self._front(params, state, iq)
+        return self._post_frontend(params, state, x, outputs, fe_upd)
+
+    def _front(self, params, state, iq):
+        """RF-rate front end (gain/DC/IQ/display taps/Fs4/NCO/decimate);
+        returns (x at 24 kHz, outputs, front-end state updates)."""
         spec = self.spec
         outputs = {}
 
@@ -318,8 +324,9 @@ class RxChain:
                 (dc_bq, nco_phase, dec1, dec2), x = self.fused_fe.block(
                     params, st4, iq)
                 zoom_state = state.zoom
-            return self._post_frontend(params, state, x, outputs, dc_bq,
-                                       nco_phase, dec1, dec2, zoom_state)
+            return x, outputs, dict(dc_bq=dc_bq, nco_phase=nco_phase,
+                                    dec1=dec1, dec2=dec2,
+                                    zoom=zoom_state)
 
         # --- front end: RF gain, DC block, IQ correction ----------------
         g = (10.0 ** (params.rf_gain_db / 20.0) * params.band_gain
@@ -354,13 +361,37 @@ class RxChain:
         dec2, x = fir.fir_decimate(state.dec2, x, jnp.asarray(self.h2),
                                    C.DF2)
         # x: (..., 256) complex at 24 kHz
-        return self._post_frontend(params, state, x, outputs, dc_bq,
-                                   nco_phase, dec1, dec2, zoom_state)
+        return x, outputs, dict(dc_bq=dc_bq, nco_phase=nco_phase,
+                                dec1=dec1, dec2=dec2, zoom=zoom_state)
 
-    def _post_frontend(self, params, state, x, outputs, dc_bq, nco_phase,
-                       dec1, dec2, zoom_state):
+    def _post_frontend(self, params, state, x, outputs, fe_upd):
         """Audio-rate tail of the chain (filter/AGC/demod/NR/interp),
         shared by the fused-Pallas and plain front ends."""
+        upd, audio, outputs = self._tail_pre_nr(params, state, x, outputs)
+        upd.update(fe_upd)
+        nr_state, audio = self._apply_nr(state.nr, audio)
+        upd["nr"] = nr_state
+        return self._tail_post_nr(params, state._replace(**upd), audio,
+                                  outputs)
+
+    def _apply_nr(self, nr_state, audio):
+        """Per-block noise reduction (Process.cpp:841-858); see
+        `block_batch` for the cross-block batched form."""
+        spec = self.spec
+        if spec.nr_mode == 1:
+            return nr_mod.kim_nr(self.kim_params, nr_state, audio,
+                                 use_pallas=spec.use_pallas)
+        if spec.nr_mode == 2:
+            return nr_mod.spectral_nr(self.spectral_nr_params, nr_state,
+                                      audio)
+        if spec.nr_mode == 3:
+            return nr_mod.xanr(self.xanr_params, nr_state, audio,
+                               use_pallas=spec.use_pallas)
+        return nr_state, audio
+
+    def _tail_pre_nr(self, params, state, x, outputs):
+        """Filter/AGC/demod/EQ — the audio-rate tail UP TO the NR
+        stage.  Returns (state-field updates, audio, outputs)."""
         spec = self.spec
         sam_state = state.sam
         am_bq = state.am_bq
@@ -440,18 +471,15 @@ class RxChain:
         if spec.eq_on:
             eq_state, audio = self.eq.apply(eq_state, audio, params.eq_gains)
 
-        # --- noise reduction (Process.cpp:841-858) -----------------------
-        nr_state = state.nr
-        if spec.nr_mode == 1:
-            nr_state, audio = nr_mod.kim_nr(self.kim_params, nr_state,
-                                            audio,
-                                            use_pallas=spec.use_pallas)
-        elif spec.nr_mode == 2:
-            nr_state, audio = nr_mod.spectral_nr(self.spectral_nr_params,
-                                                 nr_state, audio)
-        elif spec.nr_mode == 3:
-            nr_state, audio = nr_mod.xanr(self.xanr_params, nr_state, audio,
-                                          use_pallas=spec.use_pallas)
+        return (dict(osf=osf, agc=agc_state, am_bq=am_bq, sam=sam_state,
+                     nfm_last=nfm_last, smeter_avg=smeter_avg,
+                     eq=eq_state), audio, outputs)
+
+    def _tail_post_nr(self, params, state, audio, outputs):
+        """Notch/blanker/CW/interp/volume — the audio-rate tail AFTER
+        the NR stage.  `state` carries current values for every field;
+        only the post-NR fields are replaced."""
+        spec = self.spec
 
         # --- automatic notch (Process.cpp:862-866) -----------------------
         notch_state = state.notch
@@ -489,11 +517,60 @@ class RxChain:
             vol = volume_to_amplification(params.volume)[..., None]
             outputs["audio"] = audio * vol
 
-        new_state = RxState(dc_bq, nco_phase, dec1, dec2, osf, agc_state,
-                            am_bq, sam_state, nfm_last, int1, int2,
-                            smeter_avg, nr_state, cw_state, cw_lp_state,
-                            notch_state, eq_state, zoom_state)
+        new_state = state._replace(int1=int1, int2=int2, cw=cw_state,
+                                   cw_lp=cw_lp_state, notch=notch_state)
         return new_state, outputs
+
+    # ------------------------------------------------------------------
+    def block_batch(self, params, state, blocks):
+        """Process (B, ..., BLOCK) blocks in ONE call — semantics
+        identical to scanning `block`, with the NR stage batched across
+        blocks when the algorithm allows (VERDICT r4 item 5).
+
+        The Kim/spectral hop frames depend only on the raw input
+        halves, so the B-block batch runs as: scan(front end +
+        filter/AGC/demod/EQ) -> ONE batched NR (2B hop transforms as
+        one DFT batch; Kim's gain recursions in one kernel invocation
+        with the minimum-statistics rings VMEM-resident for the whole
+        batch) -> scan(notch/CW/interp).  Other NR modes (LMS) keep
+        their per-block form inside one scan.  Returns (state, outputs)
+        with outputs stacked on a leading (B,) axis.
+        """
+        spec = self.spec
+
+        if spec.nr_mode not in (1, 2):
+            def step(st, blk):
+                return self.block(params, st, blk)
+
+            return jax.lax.scan(step, state, blocks)
+
+        def pre(st, blk):
+            st, audio, outs = self._block_pre_nr(params, st, blk)
+            return st, (audio, outs)
+
+        state, (audio, outs) = jax.lax.scan(pre, state, blocks)
+        if spec.nr_mode == 1:
+            nr_state, audio = nr_mod.kim_nr_batch(
+                self.kim_params, state.nr, audio,
+                use_pallas=spec.use_pallas)
+        else:
+            nr_state, audio = nr_mod.spectral_nr_batch(
+                self.spectral_nr_params, state.nr, audio)
+        state = state._replace(nr=nr_state)
+
+        def post(st, inp):
+            audio_b, outs_b = inp
+            return self._tail_post_nr(params, st, audio_b, outs_b)
+
+        return jax.lax.scan(post, state, (audio, outs))
+
+    def _block_pre_nr(self, params, state, iq):
+        """One block through the front end and the pre-NR tail; returns
+        (state-with-pre-fields-updated, audio, outputs)."""
+        x, outputs, fe_upd = self._front(params, state, iq)
+        upd, audio, outputs = self._tail_pre_nr(params, state, x, outputs)
+        upd.update(fe_upd)
+        return state._replace(**upd), audio, outputs
 
     # ------------------------------------------------------------------
     def run(self, iq: np.ndarray | jnp.ndarray,

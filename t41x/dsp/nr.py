@@ -205,6 +205,62 @@ def kim_nr(p: KimParams, st: KimState, x: jnp.ndarray,
     return new_st, jnp.concatenate([a0, a1], axis=-1) * p.post_gain
 
 
+def kim_nr_batch(p: KimParams, st: KimState, xs: jnp.ndarray,
+                 use_pallas: bool = False):
+    """EXACT batched form of B sequential `kim_nr` calls (VERDICT r4
+    item 5 — cross-block NR batching).
+
+    xs: (B, ..., 256) audio blocks.  Every hop frame is a function of
+    the raw input halves alone (the gain recursion feeds only the gain
+    state, never the frames), so the whole batch factorizes into three
+    stages with NO per-block dependent chain:
+
+      * ONE forward rDFT over all 2B hop frames (bigger MXU batch),
+      * ONE gain-kernel invocation running the 2B sequential hop
+        updates with the minimum-statistics rings VMEM-resident for
+        the whole batch (vs an HBM ring round-trip per block),
+      * ONE inverse rDFT + vectorized overlap-add.
+
+    Returns (state, (B, ..., 256) audio) bit-identical in structure to
+    scanning `kim_nr` (same ring/cursor trajectory).
+    """
+    B = xs.shape[0]
+    ch = xs.shape[1:-1]
+    window = jnp.asarray(_hann())
+    # hop halves in stream order: H[2b]=xs[b,:128], H[2b+1]=xs[b,128:]
+    halves = jnp.moveaxis(xs.reshape((B,) + ch + (2, HOP)), -2, 1)
+    halves = halves.reshape((2 * B,) + ch + (HOP,))
+    prev = jnp.concatenate([st.last_sample[None], halves[:-1]], axis=0)
+    frames = jnp.concatenate([prev, halves], axis=-1) * window
+    sr, si = mxu_fft.rdft_half(frames)              # (2B, ..., 129)
+    powers = (sr ** 2 + si ** 2)[..., :HOP]
+
+    if use_pallas:
+        from t41x.kernels.nr_gain_pallas import kim_gains_pallas
+
+        (X, E, Gts, idx), gs = kim_gains_pallas(
+            p, (st.X, st.E, st.Gts, st.idx), powers)
+    else:
+        def step(gst, pw):
+            gst, g = _kim_gain(p, gst, pw)
+            return gst, g
+
+        (X, E, Gts, idx), gs = jax.lax.scan(
+            step, (st.X, st.E, st.Gts, st.idx), powers)
+    mid = 0.5 * (gs[..., 1:] + gs[..., :-1])
+    fg = jnp.concatenate([gs[..., :1], mid, gs[..., HOP - 1: HOP]],
+                         axis=-1)
+    outs = mxu_fft.irdft_half_real(sr * fg, si * fg)   # (2B, ..., 256)
+    second = jnp.concatenate([st.last_ifft[None], outs[:-1, ..., HOP:]],
+                             axis=0)
+    hops = outs[..., :HOP] + second                    # (2B, ..., 128)
+    audio = jnp.moveaxis(hops.reshape((B, 2) + ch + (HOP,)), 1, -2)
+    audio = audio.reshape((B,) + ch + (2 * HOP,)) * p.post_gain
+    new_st = KimState(xs[-1, ..., HOP:], outs[-1, ..., HOP:],
+                      X, E, Gts, idx)
+    return new_st, audio
+
+
 # ----------------------------------------------------------------------
 # UHSDR spectral subtraction
 # ----------------------------------------------------------------------
@@ -351,6 +407,44 @@ def spectral_nr(p: SpectralParams, st: SpectralState, x: jnp.ndarray):
     new_st = SpectralState(x[..., HOP:], outs[1][..., HOP:], xt, pslp,
                            hk_old, frames_n)
     return new_st, jnp.concatenate([a0, a1], axis=-1)
+
+
+def spectral_nr_batch(p: SpectralParams, st: SpectralState,
+                      xs: jnp.ndarray):
+    """EXACT batched form of B sequential `spectral_nr` calls — same
+    factorization as `kim_nr_batch`: one forward rDFT over all 2B hop
+    frames, one sequential scan of the per-hop gain recursion (the only
+    true dependency), one inverse rDFT + vectorized overlap-add.
+    xs: (B, ..., 256).  Returns (state, (B, ..., 256))."""
+    B = xs.shape[0]
+    ch = xs.shape[1:-1]
+    window = jnp.asarray(_sqrt_hann())
+    halves = jnp.moveaxis(xs.reshape((B,) + ch + (2, HOP)), -2, 1)
+    halves = halves.reshape((2 * B,) + ch + (HOP,))
+    prev = jnp.concatenate([st.last_sample[None], halves[:-1]], axis=0)
+    frames = jnp.concatenate([prev, halves], axis=-1) * window
+    sr, si = mxu_fft.rdft_half(frames)
+    powers = (sr ** 2 + si ** 2)[..., :HOP]
+
+    def step(gst, pw):
+        gst, g, init = _spectral_gain(p, gst, pw)
+        return gst, (g, init)
+
+    (xt, pslp, hk_old, frames_n), (gs, inits) = jax.lax.scan(
+        step, (st.xt, st.pslp, st.hk_old, st.frames), powers)
+    mid = 0.5 * (gs[..., 1:] + gs[..., :-1])
+    fg = jnp.concatenate([gs[..., :1], mid, gs[..., HOP - 1: HOP]],
+                         axis=-1)
+    outs = mxu_fft.irdft_half_real(sr * fg, si * fg) * window
+    second = jnp.concatenate([st.last_ifft[None], outs[:-1, ..., HOP:]],
+                             axis=0)
+    hops = outs[..., :HOP] + second
+    hops = jnp.where(inits, halves, hops)   # init phase: passthrough
+    audio = jnp.moveaxis(hops.reshape((B, 2) + ch + (HOP,)), 1, -2)
+    audio = audio.reshape((B,) + ch + (2 * HOP,))
+    new_st = SpectralState(xs[-1, ..., HOP:], outs[-1, ..., HOP:],
+                           xt, pslp, hk_old, frames_n)
+    return new_st, audio
 
 
 # ----------------------------------------------------------------------

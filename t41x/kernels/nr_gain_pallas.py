@@ -32,7 +32,7 @@ HOP = 128
 CH_T = 64       # channels per program instance
 
 
-def _kernel(p, sl_ref, p_ref, X_ref, E_ref, G_ref,
+def _kernel(p, n_hops, sl_ref, p_ref, X_ref, E_ref, G_ref,
             go_ref, nX_ref, nE_ref, nGts_ref):
     f32 = jnp.float32
     nX_ref[:] = X_ref[:]
@@ -44,7 +44,7 @@ def _kernel(p, sl_ref, p_ref, X_ref, E_ref, G_ref,
     omb = f32(1.0 - 2.0 * p.beta)
     alpha = f32(p.alpha)
 
-    for h in range(2):
+    for h in range(n_hops):
         power = p_ref[h]
         s3 = sl_ref[0, 2 * h]
         s15 = sl_ref[0, 2 * h + 1]
@@ -77,23 +77,25 @@ def _kernel(p, sl_ref, p_ref, X_ref, E_ref, G_ref,
 
 @functools.partial(jax.jit, static_argnums=(0, 6))
 def _call(p, slots, powers, X, E, Gts, interpret):
+    n_hops = powers.shape[0]
     g = powers.shape[1] // CH_T
     f32 = jnp.float32
-    two_t = pl.BlockSpec((2, CH_T, HOP), lambda i: (0, i, 0),
+    two_t = pl.BlockSpec((n_hops, CH_T, HOP), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     ring = lambda r: pl.BlockSpec((CH_T, r, HOP),  # noqa: E731
                                   lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     flat = pl.BlockSpec((CH_T, HOP), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    sl = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sl = pl.BlockSpec((1, 2 * n_hops), lambda i: (0, 0),
+                      memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, p),
+        functools.partial(_kernel, p, n_hops),
         grid=(g,),
         in_specs=[sl, two_t, ring(3), ring(15), flat],
         out_specs=[two_t, ring(3), ring(15), flat],
         out_shape=[
-            jax.ShapeDtypeStruct((2, g * CH_T, HOP), f32),
+            jax.ShapeDtypeStruct((n_hops, g * CH_T, HOP), f32),
             jax.ShapeDtypeStruct((g * CH_T, 3, HOP), f32),
             jax.ShapeDtypeStruct((g * CH_T, 15, HOP), f32),
             jax.ShapeDtypeStruct((g * CH_T, HOP), f32),
@@ -103,12 +105,16 @@ def _call(p, slots, powers, X, E, Gts, interpret):
 
 
 def kim_gains_pallas(p, gst, powers, *, interpret=None):
-    """Both hops' Kim gain updates in one Pallas program.
+    """ALL hops' Kim gain updates in one Pallas program.
 
     gst: (X (..., 3, HOP), E (..., 15, HOP), Gts (..., HOP),
-    idx (...,) i32); powers: (2, ..., HOP) for hop0/hop1.
-    Returns ((nX, nE, nGts, idx+2), gains (2, ..., HOP)) — the
-    HALF-spectrum smoothed gains; mirror outside like `_kim_gain`."""
+    idx (...,) i32); powers: (n_hops, ..., HOP) — 2 hops for one
+    256-sample block, 2B hops for a B-block batch (cross-block NR
+    batching: the minimum-statistics rings ride VMEM across the WHOLE
+    batch instead of round-tripping HBM per block).
+    Returns ((nX, nE, nGts, idx+n_hops), gains (n_hops, ..., HOP)) —
+    the HALF-spectrum smoothed gains; mirror outside like
+    `_kim_gain`."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     X, E, Gts, idx = gst
@@ -127,14 +133,18 @@ def kim_gains_pallas(p, gst, powers, *, interpret=None):
             a = jnp.pad(a, width)
         return a
 
+    n_hops = powers.shape[0]
     cursor = idx.reshape(-1)[0]
-    slots = jnp.stack([jnp.mod(cursor, 3), jnp.mod(cursor, 15),
-                       jnp.mod(cursor + 1, 3),
-                       jnp.mod(cursor + 1, 15)]).astype(jnp.int32)[None]
+    slots = jnp.stack([f(cursor + j) for j in range(n_hops)
+                       for f in (lambda v: jnp.mod(v, 3),
+                                 lambda v: jnp.mod(v, 15))]
+                      ).astype(jnp.int32)[None]
 
-    go, nX, nE, nGts = _call(p, slots, tiles(powers, (2,)), tiles(X),
-                             tiles(E), tiles(Gts), bool(interpret))
+    go, nX, nE, nGts = _call(p, slots, tiles(powers, (n_hops,)),
+                             tiles(X), tiles(E), tiles(Gts),
+                             bool(interpret))
     unt = lambda a, lead=(): a[  # noqa: E731
         (slice(None),) * len(lead) + (slice(0, c),)].reshape(
         lead + ch + a.shape[1 + len(lead):])
-    return ((unt(nX), unt(nE), unt(nGts), idx + 2), unt(go, (2,)))
+    return ((unt(nX), unt(nE), unt(nGts), idx + n_hops),
+            unt(go, (n_hops,)))

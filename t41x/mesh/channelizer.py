@@ -56,6 +56,14 @@ class Channelizer:
         kk = np.arange(num_channels)
         self.E2 = np.exp(2j * np.pi * np.outer(
             kk, num_channels - 1 - kk) / num_channels).astype(np.complex64)
+        # packed REAL form of the phase DFT (r5 rework): with the
+        # re/im-stacked branch vector X = [vr | vi] (.., 2K), one real
+        # (2K, 2K) matmul produces [ch_r | ch_i] — at K=64 the complex
+        # einsum was 4 matmuls with a 64-lane contraction (half the MXU
+        # idle); packed, the contraction is 2K = 128-aligned
+        Er, Ei = self.E2.real, self.E2.imag
+        self.W2 = np.block([[Er.T, Ei.T],
+                            [-Ei.T, Er.T]]).astype(np.float32)
 
     def init_state(self, batch: tuple[int, ...] = ()) -> np.ndarray:
         """(..., P*K - 1) raw-sample history (commutator + FIR tails)."""
@@ -78,14 +86,20 @@ class Channelizer:
         # the whole RX chain's cost on chip)
         nf = n_out + P - 1
         U = xc[..., : nf * K].reshape(x.shape[:-1] + (nf, K))
-        hp_r = jnp.asarray(self.hp_r)               # (K, P)
-        v = hp_r[:, 0] * U[..., P - 1: P - 1 + n_out, :]
+        # re/im packed along the lane axis: the branch FIR runs on a
+        # (nf, 2K) real buffer (full VPU lanes at K=64) and feeds the
+        # packed DFT matmul directly
+        U2 = jnp.concatenate([U.real, U.imag], axis=-1)   # (.., nf, 2K)
+        hp2 = jnp.asarray(np.tile(self.hp_r[:, None], (2, 1, 1))
+                          .reshape(2 * K, P))             # (2K, P)
+        v = hp2[:, 0] * U2[..., P - 1: P - 1 + n_out, :]
         for t in range(1, P):
-            v = v + hp_r[:, t] * U[..., P - 1 - t: P - 1 - t + n_out, :]
+            v = v + hp2[:, t] * U2[..., P - 1 - t: P - 1 - t + n_out, :]
 
-        # phase DFT as one (K x K) complex matmul: ch_k = sum_i E2[k,i] v'_i
-        ch = jnp.einsum("...mi,ki->...mk", v, jnp.asarray(self.E2))
-        return new_state, jnp.swapaxes(ch, -1, -2).astype(jnp.complex64)
+        # phase DFT: ONE real (2K, 2K) matmul [vr|vi] -> [ch_r|ch_i]
+        ch2 = jnp.matmul(v, jnp.asarray(self.W2))
+        ch = (ch2[..., :K] + 1j * ch2[..., K:]).astype(jnp.complex64)
+        return new_state, jnp.swapaxes(ch, -1, -2)
 
     def channel_center_hz(self, k: int) -> float:
         """Center frequency of channel k in the wideband capture."""

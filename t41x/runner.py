@@ -93,11 +93,10 @@ class StreamRunner:
             # must work at batch_blocks == 1 too (a scan over one block;
             # compilation is lazy, so an unused batch_fn costs nothing)
             def batch_fn(params, st, blocks):
-                def body(st, blk):
-                    st, out = chain.block(params, st, blk)
-                    return st, out
-
-                st, outs = jax.lax.scan(body, st, blocks)
+                # block_batch == scanning block, but the NR stage runs
+                # batched across the B blocks where the algorithm
+                # allows (cross-block NR batching, chain/rx.py)
+                st, outs = chain.block_batch(params, st, blocks)
                 # one tiny leaf to FETCH as the execution sync --
                 # block_until_ready can resolve before remote
                 # execution completes, a value fetch cannot

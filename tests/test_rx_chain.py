@@ -173,3 +173,47 @@ def test_chain_kim_and_lms_nr_modes_run():
         sp = np.abs(np.fft.rfft(audio))
         f = np.fft.rfftfreq(len(audio), 1 / C.AUDIO_RATE)
         assert abs(f[np.argmax(sp)] - 900.0) < 5.0, (nrm, f[np.argmax(sp)])
+
+
+def test_block_batch_matches_scanned_block():
+    """block_batch (cross-block NR batching, VERDICT r4 item 5) must be
+    equivalent to scanning block() — outputs AND carried state — for
+    the batched-Kim path, the Pallas-kernel path, and the scan
+    fallback (spectral NR, display taps)."""
+    import jax
+
+    rng = np.random.default_rng(4)
+    ch, B = 3, 5
+    t = np.arange(B * C.BLOCK_SIZE) / C.SAMPLE_RATE
+    tone = 0.3 * np.exp(2j * np.pi * (C.SAMPLE_RATE / 4 + 1200.0) * t)
+    iq = (tone + (rng.standard_normal((ch, t.size))
+                  + 1j * rng.standard_normal((ch, t.size))) * 0.05
+          ).astype(np.complex64)
+    blocks = jnp.asarray(np.stack(np.split(iq, B, axis=-1)))
+
+    for kw in (dict(mode="usb", nr_mode=1),
+               dict(mode="usb", nr_mode=1, use_pallas=True),
+               dict(mode="usb", nr_mode=2),
+               dict(mode="usb", spectrum_zoom=0)):
+        chain = RxChain(ChainSpec(**kw))
+        params = jax.tree.map(np.asarray, default_params((ch,)))
+        st = chain.init_state((ch,))
+        s1, outs = st, []
+        step = jax.jit(chain.block)
+        for b in range(B):
+            s1, o = step(params, s1, blocks[b])
+            outs.append(o)
+        s2, ob = jax.jit(chain.block_batch)(params, st, blocks)
+        for k in outs[0]:
+            ref = np.stack([np.asarray(o[k]) for o in outs])
+            got = np.asarray(ob[k])
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"{kw} {k}")
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            a = np.asarray(a).astype(np.complex128)
+            b = np.asarray(b).astype(np.complex128)
+            # atol scales with the leaf (power-spectrum EMA states sit
+            # at ~10; filter states at ~1e-2) — fp32 fusion-order noise
+            scale = float(np.max(np.abs(b))) if b.size else 0.0
+            assert float(np.max(np.abs(a - b))) < max(1e-5,
+                                                      1e-4 * scale), kw

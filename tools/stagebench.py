@@ -61,6 +61,12 @@ def main() -> None:
         "pallas_q15_fe_only": dict(use_pallas=True, q15_input=True,
                                    mode="psk31", interpolate_out=False),
         "zoom2": dict(spectrum_zoom=1),
+        # cross-block NR batching (chain.block_batch): the scan's NR
+        # stage lifts out and runs once per 8-block batch
+        "pallas_nr_kim_batch": dict(use_pallas=True, nr_mode=1,
+                                    _batched=True),
+        "pallas_nr_spectral_batch": dict(use_pallas=True, nr_mode=2,
+                                         _batched=True),
         "pallas_zoom1": dict(use_pallas=True, spectrum_zoom=0),
         "pallas_zoom2": dict(use_pallas=True, spectrum_zoom=1),
         "pallas_zoom8": dict(use_pallas=True, spectrum_zoom=3),
@@ -92,18 +98,37 @@ def main() -> None:
 
     base_us = None
     for name, kw in variants.items():
+        kw = dict(kw)
+        batched = kw.pop("_batched", False)
         spec = ChainSpec(**{**dict(interpolate_out=True), **kw})
         chain = RxChain(spec)
         params = jax.tree.map(np.asarray, default_params((n_ch,)))
 
         def mk(repeats):
+            def chk(out):
+                # checksum EVERY output so XLA cannot DCE any tap from
+                # the timed region (summing audio alone silently
+                # dropped the zoom/display/S-meter/interp outputs —
+                # ~60 us/block of real production work; r5 finding,
+                # reconciling the old bench-vs-stagebench delta)
+                e = jnp.sum(out["audio_24k"] ** 2)
+                for v in out.values():
+                    if jnp.iscomplexobj(v):
+                        v = v.real
+                    e = e + jnp.sum(v.astype(jnp.float32)) \
+                        * jnp.float32(1e-6)
+                return e
+
             def body(blocks, st, params):
                 def step(st, blk):
                     st, out = chain.block(params, st, blk)
-                    return st, jnp.sum(out["audio_24k"] ** 2)
+                    return st, chk(out)
 
                 def rep(_, acc):
                     st, e = acc
+                    if batched:
+                        st, outs = chain.block_batch(params, st, blocks)
+                        return st, e + chk(outs)
                     st, ei = jax.lax.scan(step, st, blocks)
                     return st, e + jnp.sum(ei)
 
