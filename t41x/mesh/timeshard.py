@@ -257,9 +257,9 @@ def run_time_sharded_full(chain, mesh: Mesh, iq, params=None,
                     x, NamedSharding(mesh, P(channel_axis))), st)
 
         def step(st, xb):
-            st, outs = chain._post_frontend(params, st, xb, {}, st.dc_bq,
-                                            st.nco_phase, st.dec1, st.dec2,
-                                            st.zoom)
+            # front-end state fields pass through unchanged: the LTI
+            # front end already ran in the sharded pass
+            st, outs = chain._post_frontend(params, st, xb, {}, {})
             return st, outs
 
         return jax.lax.scan(step, st, blocks)
