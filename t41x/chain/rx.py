@@ -226,8 +226,14 @@ class RxChain:
             self.fused_fe = FusedFrontEnd(self.h1, self.h2, self.dc_b[0],
                                           self.dc_a[0], spec.sample_rate,
                                           **zkw)
+            # fused x2+x4 output interpolation + volume (hot loop #3 —
+            # 96 us/block as XLA convs at 1024 ch)
+            from t41x.kernels.interp_pallas import FusedInterp
+            self.fused_interp = (FusedInterp(self.hi1, self.hi2)
+                                 if spec.interpolate_out else None)
         else:
             self.fused_fe = None
+            self.fused_interp = None
 
     # ------------------------------------------------------------------
     def init_state(self, channels: tuple[int, ...] = ()) -> RxState:
@@ -506,7 +512,12 @@ class RxChain:
 
         # --- interpolation back to 192 kHz + volume ----------------------
         int1, int2 = state.int1, state.int2
-        if spec.interpolate_out:
+        if spec.interpolate_out and self.fused_interp is not None:
+            vol = C.DF * volume_to_amplification(params.volume)
+            int1, int2, a = self.fused_interp.apply(audio, int1, int2,
+                                                    vol)
+            outputs["audio"] = a
+        elif spec.interpolate_out:
             int1, a = fir.fir_interpolate(int1, audio, jnp.asarray(self.hi1),
                                           C.DF2)
             int2, a = fir.fir_interpolate(int2, a, jnp.asarray(self.hi2),
@@ -528,41 +539,55 @@ class RxChain:
         blocks when the algorithm allows (VERDICT r4 item 5).
 
         The Kim/spectral hop frames depend only on the raw input
-        halves, so the B-block batch runs as: scan(front end +
+        halves, so a B-block batch can run as: scan(front end +
         filter/AGC/demod/EQ) -> ONE batched NR (2B hop transforms as
-        one DFT batch; Kim's gain recursions in one kernel invocation
-        with the minimum-statistics rings VMEM-resident for the whole
-        batch) -> scan(notch/CW/interp).  Other NR modes (LMS) keep
-        their per-block form inside one scan.  Returns (state, outputs)
-        with outputs stacked on a leading (B,) axis.
+        one DFT batch) -> scan(notch/CW/interp).  Measured on the v5e
+        at 1024 ch, B=8 (one stagebench epoch): spectral NR drops from
+        +89 to +72 us/block (the hop-gain scan amortizes its window
+        state), but Kim GAINS +13 us/block — its 2B-hop Pallas gain
+        kernel (16 unrolled predicated ring rewrites) schedules worse
+        than 8 invocations of the 2-hop form, which already keeps the
+        rings VMEM-resident per block.  So the batch path engages for
+        spectral only; Kim and LMS keep their per-block form inside one
+        scan (`kim_nr_batch` remains available and bit-exact for
+        callers that want it).  Returns (state, outputs) with outputs
+        stacked on a leading (B,) axis.
         """
         spec = self.spec
 
-        if spec.nr_mode not in (1, 2):
+        if spec.nr_mode != 2:
             def step(st, blk):
                 return self.block(params, st, blk)
 
             return jax.lax.scan(step, state, blocks)
 
-        def pre(st, blk):
-            st, audio, outs = self._block_pre_nr(params, st, blk)
-            return st, (audio, outs)
+        # each scan carries ONLY the fields its stage mutates — the NR
+        # rings (9.4 MB at 1024 ch) and post-NR states must not thread
+        # through a scan that never touches them
+        pre_f = ("dc_bq", "nco_phase", "dec1", "dec2", "zoom", "osf",
+                 "agc", "am_bq", "sam", "nfm_last", "smeter_avg", "eq")
+        post_f = ("notch", "cw", "cw_lp", "int1", "int2")
 
-        state, (audio, outs) = jax.lax.scan(pre, state, blocks)
-        if spec.nr_mode == 1:
-            nr_state, audio = nr_mod.kim_nr_batch(
-                self.kim_params, state.nr, audio,
-                use_pallas=spec.use_pallas)
-        else:
-            nr_state, audio = nr_mod.spectral_nr_batch(
-                self.spectral_nr_params, state.nr, audio)
-        state = state._replace(nr=nr_state)
+        def pre(carry, blk):
+            st, audio, outs = self._block_pre_nr(
+                params, state._replace(**carry), blk)
+            return {f: getattr(st, f) for f in pre_f}, (audio, outs)
 
-        def post(st, inp):
+        carry, (audio, outs) = jax.lax.scan(
+            pre, {f: getattr(state, f) for f in pre_f}, blocks)
+        nr_state, audio = nr_mod.spectral_nr_batch(
+            self.spectral_nr_params, state.nr, audio)
+
+        def post(pcarry, inp):
             audio_b, outs_b = inp
-            return self._tail_post_nr(params, st, audio_b, outs_b)
+            st, o = self._tail_post_nr(
+                params, state._replace(**pcarry), audio_b, outs_b)
+            return {f: getattr(st, f) for f in post_f}, o
 
-        return jax.lax.scan(post, state, (audio, outs))
+        pcarry, outs2 = jax.lax.scan(
+            post, {f: getattr(state, f) for f in post_f}, (audio, outs))
+        final = state._replace(nr=nr_state, **carry, **pcarry)
+        return final, outs2
 
     def _block_pre_nr(self, params, state, iq):
         """One block through the front end and the pre-NR tail; returns

@@ -87,10 +87,24 @@ _ZRES = 512  # zoom-1 display segment length (SPECTRUM_RES)
 # this choice on every benched chip.
 DOT_PRECISION = jax.lax.Precision.DEFAULT
 
+# The zoom-tap chunk operator is an 11-state composition of the
+# high-zoom elliptic cascade — poles within ~1e-3 of the unit circle at
+# zoom x32 — whose state recursion amplifies dot rounding over the
+# block; chipcheck measured 6.4 dB of displayed-spectrum error at
+# DEFAULT on the real chip (vs 0.0 in the interpreter).  Its four dots
+# pin HIGHEST; they are (TILE_C, K+11)-shaped — a small fraction of the
+# kernel's matmul volume.
+ZOOM_DOT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _dot(x, w):
     return jnp.dot(x, w, preferred_element_type=jnp.float32,
                    precision=DOT_PRECISION)
+
+
+def _zdot(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32,
+                   precision=ZOOM_DOT_PRECISION)
 
 
 def _compose_cascade_ops(b: np.ndarray, a: np.ndarray, K: int):
@@ -413,10 +427,10 @@ class FusedFrontEnd:
                 # store offsets at 128-sample granularity); the copy to
                 # the contiguous output uses static offsets after the
                 # loop
-                zsr_ref[k] = _dot(zi_in, Wy)
-                zsi_ref[k] = _dot(zq_in, Wy)
-                sZI = _dot(zi_in, Ws)
-                sZQ = _dot(zq_in, Ws)
+                zsr_ref[k] = _zdot(zi_in, Wy)
+                zsi_ref[k] = _zdot(zq_in, Wy)
+                sZI = _zdot(zi_in, Ws)
+                sZQ = _zdot(zq_in, Ws)
 
             # fs4 (exact j^n) x NCO phasor e^{-i theta} for this chunk
             tr = self.nco_gain * (fr * cs + fi * sn)

@@ -174,3 +174,40 @@ def test_kim_gains_pallas_matches_xla_path():
         np.testing.assert_allclose(
             np.asarray(getattr(st_p, f)), np.asarray(getattr(st_s, f)),
             rtol=1e-5, atol=1e-6, err_msg=f)
+
+
+def test_fused_interp_matches_fir_interpolate():
+    """FusedInterp (x2+x4+volume in one program) vs the streaming
+    fir.fir_interpolate pair, multi-block with carried histories."""
+    import jax
+
+    from t41x import constants as C
+    from t41x.dsp import fir, firdesign as fd
+    from t41x.kernels.interp_pallas import FusedInterp
+
+    h1, h2 = fd.interpolation_prototypes(3000.0)
+    ch, blocks, n = 5, 4, 256
+    fi = FusedInterp(h1, h2)
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((blocks, ch, n)).astype(np.float32) * 0.4
+    vol = np.linspace(0.5, 2.0, ch).astype(np.float32)
+
+    i1 = np.zeros((ch, fi.sub1 - 1), np.float32)
+    i2 = np.zeros((ch, fi.sub2 - 1), np.float32)
+    i1f, i2f = jnp.asarray(i1), jnp.asarray(i2)
+    ap = jax.jit(fi.apply)
+    for b in range(blocks):
+        x = jnp.asarray(xs[b])
+        # reference: two streaming convs then the scale
+        i1, a = fir.fir_interpolate(i1, x, jnp.asarray(
+            h1.astype(np.float32)), C.DF2)
+        i2, a = fir.fir_interpolate(i2, a, jnp.asarray(
+            h2.astype(np.float32)), C.DF1)
+        ref = np.asarray(a) * vol[:, None]
+        i1f, i2f, y = ap(x, i1f, i2f, jnp.asarray(vol))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5,
+                                   atol=2e-6, err_msg=f"block {b}")
+        np.testing.assert_allclose(np.asarray(i1f), np.asarray(i1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(i2f), np.asarray(i2),
+                                   rtol=2e-5, atol=2e-6)
