@@ -606,12 +606,15 @@ class RxChain:
         iq: (..., n_blocks*BLOCK) complex; leading dims are channels.
         Returns dict of streamed outputs (time axis last).
         """
-        iq = jnp.asarray(iq)
+        # stay on the HOST until the complex-free boundary: device-
+        # putting a complex array first would already trip runtimes
+        # without complex buffer support
+        iq = np.asarray(iq)
         ch = iq.shape[:-1] if channels is None else channels
         n_blocks = iq.shape[-1] // C.BLOCK_SIZE
         blocks = iq[..., : n_blocks * C.BLOCK_SIZE]
         blocks = blocks.reshape(ch + (n_blocks, C.BLOCK_SIZE))
-        blocks = jnp.moveaxis(blocks, -2, 0)  # (n_blocks, ..., BLOCK)
+        blocks = np.moveaxis(blocks, -2, 0)   # (n_blocks, ..., BLOCK)
         if params is None:
             params = default_params(ch)
         # numpy leaves: closure-captured device arrays break constant
@@ -626,8 +629,18 @@ class RxChain:
             st = self.init_state(ch)
             return jax.lax.scan(step, st, blocks)
 
-        fn = jax.jit(scan_all) if jit else scan_all
-        _, outs = fn(blocks, params)
+        if jit:
+            # complex-free jit boundary (t41x.utils.creal): some TPU
+            # runtimes cannot execute programs with complex argument or
+            # result buffers, so the high-level API encodes them as
+            # re/im pairs at the boundary
+            from t41x.utils import creal
+
+            _, outs = creal.cjit(scan_all)(
+                creal.csplit(np.asarray(blocks)), params)
+            outs = creal.cjoin(outs)
+        else:
+            _, outs = scan_all(blocks, params)
 
         def flatten(leaf):
             # (n_blocks, ...ch, N) -> (...ch, n_blocks*N) sample streams;

@@ -80,13 +80,24 @@ class CWDetector:
         Returns (state, keyed, combined) with keyed (...,) bool."""
         from t41x.dsp import fir
 
+        import jax
+
         fir_st, x = fir.fir_apply(st.fir, audio, jnp.asarray(self.h))
-        corr = x @ jnp.asarray(self.corr_matrix).T       # (..., 511)
+        # DETECTION statistics, not audio: the correlation bank and
+        # Goertzel bin feed a thresholded keying decision with >2x
+        # margins, so single-pass bf16 matmuls (fp32 accumulation) are
+        # ample — the (C, 256) x (256, 511) lag matmul was the CW
+        # path's dominant cost at 3-pass precision
+        det = jax.lax.Precision.DEFAULT
+        corr = jnp.matmul(x, jnp.asarray(self.corr_matrix).T,
+                          precision=det)                 # (..., 511)
         corr_max = jnp.max(corr, axis=-1)
         ave_corr = 0.7 * corr_max + 0.3 * st.ave_corr
 
-        real = jnp.einsum("...n,n->...", x, jnp.asarray(self.goertzel_cos))
-        imag = jnp.einsum("...n,n->...", x, jnp.asarray(self.goertzel_sin))
+        real = jnp.einsum("...n,n->...", x, jnp.asarray(self.goertzel_cos),
+                          precision=det)
+        imag = jnp.einsum("...n,n->...", x, jnp.asarray(self.goertzel_sin),
+                          precision=det)
         mag = jnp.sqrt(real * real + imag * imag) / (BLOCK / 2.0)
 
         combined = 10.0 * corr_max * 100.0 * mag
